@@ -1,0 +1,248 @@
+"""Bucketed, padded, static-shape input pipeline.
+
+Capability parity with the reference's input pipeline
+(nabu/processing/input_pipeline.py: filename queues ->
+bucket_by_sequence_length -> dynamically padded batches), re-designed
+for XLA: every bucket has a *static* padded (time, label) shape so jit
+compiles exactly ``num_buckets`` train-step variants; sequence lengths
+ride along as arrays and all models mask by length. Utterances are
+sharded across hosts by strided assignment after a length sort, so every
+host sees balanced bucket occupancy and nobody idles at the gradient
+psum barrier (SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from nabu_tpu.data.storage import ShardedDataset
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch. All arrays are host numpy; shapes static per bucket."""
+
+    features: np.ndarray  # [B, T, F] float32
+    feature_lengths: np.ndarray  # [B] int32
+    targets: Optional[np.ndarray]  # [B, L] int32 (padded with 0)
+    target_lengths: Optional[np.ndarray]  # [B] int32
+    example_mask: np.ndarray  # [B] bool — False for fill examples
+    utt_ids: List[str]
+    bucket: int = 0
+
+    @property
+    def num_audio_frames(self) -> int:
+        return int(self.feature_lengths[self.example_mask.astype(bool)].sum())
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_buckets(
+    lengths: np.ndarray, num_buckets: int, pad_multiple: int = 8
+) -> np.ndarray:
+    """Static bucket edges (padded time lengths) from length quantiles."""
+    qs = np.quantile(lengths, np.linspace(0, 1, num_buckets + 1)[1:])
+    edges = sorted({_round_up(int(np.ceil(q)), pad_multiple) for q in qs})
+    return np.array(edges, dtype=np.int64)
+
+
+class BucketedLoader:
+    """Deterministic bucketed batch iterator over a prepared dataset pair.
+
+    Args:
+      features: ShardedDataset of [T, F] feature matrices.
+      targets: optional ShardedDataset of [L] int targets (same utts).
+      batch_size: per-host batch size (must divide by local device count
+        at the training level, not here).
+      num_buckets: number of static shapes to compile.
+      seed: base shuffle seed; actual order is keyed by (seed, epoch).
+      host_id / num_hosts: strided utterance sharding for multi-host.
+      pad_multiple: round padded time up to this multiple (TPU lanes).
+      fill_incomplete: pad last batch of a bucket with zero "fill"
+        examples (masked out) so shapes stay static.
+    """
+
+    def __init__(
+        self,
+        features: ShardedDataset,
+        targets: Optional[ShardedDataset] = None,
+        batch_size: int = 16,
+        num_buckets: int = 4,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        pad_multiple: int = 8,
+        fill_incomplete: bool = True,
+        max_target_length: Optional[int] = None,
+    ):
+        self.features = features
+        self.targets = targets
+        self.batch_size = batch_size
+        self.seed = seed
+        self.pad_multiple = pad_multiple
+        self.fill_incomplete = fill_incomplete
+
+        feat_lengths = features.lengths()
+        order = np.argsort(feat_lengths, kind="stable")
+        # strided multi-host shard off the length-sorted order: every host
+        # gets the same number of utterances at every length scale.
+        self.indices = order[host_id::num_hosts]
+        self.lengths = feat_lengths[self.indices]
+
+        if targets is not None:
+            utt_ids = features.utt_ids
+            self.target_index = [
+                targets._by_utt[utt_ids[i]] for i in self.indices
+            ]
+            tlens = targets.lengths()
+            self.target_lengths = np.array(
+                [tlens[j] for j in self.target_index], dtype=np.int64
+            )
+        else:
+            self.target_index = None
+            self.target_lengths = None
+
+        num_buckets = max(1, min(num_buckets, len(self.indices)))
+        self.bucket_edges = compute_buckets(
+            self.lengths, num_buckets, pad_multiple
+        )
+        # assignment of each utterance to the first bucket that fits
+        self.assignment = np.searchsorted(
+            self.bucket_edges, self.lengths, side="left"
+        )
+        self.assignment = np.minimum(
+            self.assignment, len(self.bucket_edges) - 1
+        )
+        # static target pad length per bucket
+        if self.target_lengths is not None:
+            self.bucket_target_len = np.array(
+                [
+                    _round_up(
+                        max(
+                            int(
+                                self.target_lengths[
+                                    self.assignment == b
+                                ].max(initial=1)
+                            ),
+                            1,
+                        ),
+                        pad_multiple,
+                    )
+                    for b in range(len(self.bucket_edges))
+                ],
+                dtype=np.int64,
+            )
+            if max_target_length is not None:
+                self.bucket_target_len = np.minimum(
+                    self.bucket_target_len, max_target_length
+                )
+        else:
+            self.bucket_target_len = None
+
+        self.feat_dim = features.metadata.get("dim") or int(
+            features[int(self.indices[0])].shape[1]
+        )
+
+    @property
+    def num_shapes(self) -> int:
+        return len(self.bucket_edges)
+
+    def num_batches(self) -> int:
+        total = 0
+        for b in range(len(self.bucket_edges)):
+            n = int((self.assignment == b).sum())
+            if self.fill_incomplete:
+                total += -(-n // self.batch_size)
+            else:
+                total += n // self.batch_size
+        return total
+
+    def _make_batch(self, local_ids: Sequence[int], bucket: int) -> Batch:
+        bsz = self.batch_size
+        T = int(self.bucket_edges[bucket])
+        feats = np.zeros((bsz, T, self.feat_dim), dtype=np.float32)
+        feat_len = np.zeros((bsz,), dtype=np.int32)
+        mask = np.zeros((bsz,), dtype=bool)
+        utts = []
+        has_tgt = self.targets is not None
+        if has_tgt:
+            L = int(self.bucket_target_len[bucket])
+            tgts = np.zeros((bsz, L), dtype=np.int32)
+            tgt_len = np.zeros((bsz,), dtype=np.int32)
+        for k, li in enumerate(local_ids):
+            gi = int(self.indices[li])
+            f = self.features[gi]
+            t_len = min(f.shape[0], T)
+            feats[k, :t_len] = f[:t_len]
+            feat_len[k] = t_len
+            mask[k] = True
+            utts.append(self.features.records[gi]["utt"])
+        while len(utts) < bsz:
+            utts.append("<fill>")
+        if has_tgt:
+            for k, li in enumerate(local_ids):
+                tj = self.target_index[li]
+                tg = self.targets[tj]
+                l_len = min(len(tg), L)
+                tgts[k, :l_len] = tg[:l_len]
+                tgt_len[k] = l_len
+        return Batch(
+            features=feats,
+            feature_lengths=feat_len,
+            targets=tgts if has_tgt else None,
+            target_lengths=tgt_len if has_tgt else None,
+            example_mask=mask,
+            utt_ids=utts,
+            bucket=bucket,
+        )
+
+    def epoch(self, epoch: int, shuffle: bool = True) -> Iterator[Batch]:
+        """Deterministic iterator for one epoch, keyed by (seed, epoch)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch])
+        )
+        batches = []  # (bucket, local indices)
+        for b in range(len(self.bucket_edges)):
+            local = np.nonzero(self.assignment == b)[0]
+            if shuffle:
+                rng.shuffle(local)
+            for s in range(0, len(local), self.batch_size):
+                chunk = local[s : s + self.batch_size]
+                if len(chunk) < self.batch_size and not self.fill_incomplete:
+                    continue
+                batches.append((b, chunk))
+        if shuffle:
+            rng.shuffle(batches)
+        for b, chunk in batches:
+            yield self._make_batch(chunk, b)
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self.epoch(0, shuffle=False)
+
+
+def batches_forever(
+    loader: BucketedLoader, start_epoch: int = 0
+) -> Iterator[Batch]:
+    """Infinite stream of batches across epochs (training)."""
+    epoch = start_epoch
+    while True:
+        yield from loader.epoch(epoch, shuffle=True)
+        epoch += 1
+
+
+def batch_to_arrays(batch: Batch) -> Dict[str, np.ndarray]:
+    """Batch -> dict pytree consumable by jit (drops utt ids)."""
+    out = {
+        "features": batch.features,
+        "feature_lengths": batch.feature_lengths,
+        "example_mask": batch.example_mask.astype(np.float32),
+    }
+    if batch.targets is not None:
+        out["targets"] = batch.targets
+        out["target_lengths"] = batch.target_lengths
+    return out
