@@ -1,0 +1,248 @@
+"""Model-side decoders: attention Speller and linear CTC head.
+
+Capability parity with nabu/neuralnetworks/models/ed_decoders/
+(speller.py, the linear/DNN CTC head, ed_decoder.py base/factory):
+a decoder exposes a teacher-forced ``apply`` for training and, for
+autoregressive decoders, a single-step ``step`` + ``init_state`` used
+by the jit-compiled batched beam search.
+
+Label-id conventions (documented parity choice, SURVEY.md §7 hard
+part 6): targets are in ``[0, num_labels)``; the Speller uses one extra
+id ``num_labels`` as both <sos> (input-side) and <eos> (output-side),
+so its vocab is ``num_labels + 1``; the CTC head also emits
+``num_labels + 1`` logits with blank = ``num_labels`` (last index, the
+TF/reference convention — label ids never shift).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nabu_tpu.config import Conf
+from nabu_tpu.models import core
+from nabu_tpu.ops.masking import mask_logits, sequence_mask
+from nabu_tpu.registry import DECODERS
+
+
+class Decoder:
+    """Base decoder built from a config section."""
+
+    def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
+        self.conf = conf
+        self.encoder_dim = encoder_dim
+        self.num_labels = num_labels
+        self.output_dim = num_labels + 1
+
+    def init(self, key) -> dict:
+        raise NotImplementedError
+
+
+@DECODERS.register("linear_ctc")
+@DECODERS.register("ctc")
+class LinearCTC(Decoder):
+    """Per-frame projection of encoder output to label+blank posteriors —
+    the "decoder" of CTC models (reference: ed_decoders linear/DNN
+    decoder). blank = num_labels (last)."""
+
+    def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
+        super().__init__(conf, encoder_dim, num_labels)
+        self.hidden = conf.getint("num_units", 0)
+        self.blank_id = self.num_labels
+
+    def init(self, key) -> dict:
+        if self.hidden:
+            k1, k2 = jax.random.split(key)
+            return {
+                "hidden": core.linear_init(k1, self.encoder_dim, self.hidden),
+                "out": core.linear_init(k2, self.hidden, self.output_dim),
+            }
+        return {"out": core.linear_init(key, self.encoder_dim, self.output_dim)}
+
+    def apply(
+        self,
+        params: dict,
+        encoded: jnp.ndarray,  # [B, T, D]
+        enc_lengths: jnp.ndarray,
+        targets=None,
+        target_lengths=None,
+        train: bool = False,
+        rng=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = encoded
+        if self.hidden:
+            x = jax.nn.relu(core.linear_apply(params["hidden"], x))
+        return core.linear_apply(params["out"], x), enc_lengths
+
+
+@DECODERS.register("speller")
+class Speller(Decoder):
+    """LAS attention decoder (reference: ed_decoders/speller.py).
+
+    Per step: x_t = [embed(prev_label); context_{t-1}] -> LSTM stack ->
+    attention over encoded -> logits = W_o [h_top; context_t]. Training
+    uses teacher forcing with scheduled sampling (probability
+    ``sample_prob`` of feeding the model's own argmax instead of the
+    ground truth).
+    """
+
+    def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
+        super().__init__(conf, encoder_dim, num_labels)
+        self.num_layers = conf.getint("num_layers", 1)
+        self.num_units = conf.getint("num_units", 256)
+        self.embed_dim = conf.getint("embed_dim", self.num_units)
+        self.attn_dim = conf.getint("attention_units", self.num_units)
+        self.attention = conf.get("attention", "bahdanau")
+        self.sample_prob = conf.getfloat("sample_prob", 0.0)
+        self.dropout = conf.getfloat("dropout", 0.0)
+        self.sos_id = self.num_labels
+        self.eos_id = self.num_labels
+
+    # -- params ----------------------------------------------------------
+    def init(self, key) -> dict:
+        keys = jax.random.split(key, self.num_layers + 5)
+        params: Dict[str, dict] = {
+            "embed": core.embedding_init(
+                keys[0], self.output_dim, self.embed_dim
+            )
+        }
+        in_dim = self.embed_dim + self.encoder_dim
+        for i in range(self.num_layers):
+            params[f"lstm_{i}"] = core.lstm_init(
+                keys[i + 1], in_dim, self.num_units
+            )
+            in_dim = self.num_units
+        params["attn_enc"] = core.linear_init(
+            keys[-4], self.encoder_dim, self.attn_dim
+        )
+        params["attn_state"] = core.linear_init(
+            keys[-3], self.num_units, self.attn_dim
+        )
+        params["attn_v"] = {
+            "v": core.glorot(keys[-2], (self.attn_dim, 1))
+        }
+        params["out"] = core.linear_init(
+            keys[-1], self.num_units + self.encoder_dim, self.output_dim
+        )
+        return params
+
+    # -- state -----------------------------------------------------------
+    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
+        return {
+            "lstm": [
+                (
+                    jnp.zeros((batch, self.num_units), dtype),
+                    jnp.zeros((batch, self.num_units), dtype),
+                )
+                for _ in range(self.num_layers)
+            ],
+            "context": jnp.zeros((batch, self.encoder_dim), dtype),
+        }
+
+    # -- attention -------------------------------------------------------
+    def _attend(self, params, h_top, keys, encoded, enc_mask):
+        """keys = precomputed W_enc @ encoded [B, T, A]."""
+        if self.attention == "dot":
+            q = core.linear_apply(params["attn_state"], h_top)  # [B, A]
+            scores = jnp.einsum("bta,ba->bt", keys, q) / jnp.sqrt(
+                jnp.asarray(self.attn_dim, h_top.dtype)
+            )
+        else:  # bahdanau
+            q = core.linear_apply(params["attn_state"], h_top)  # [B, A]
+            e = jnp.tanh(keys + q[:, None, :])  # [B, T, A]
+            scores = jnp.squeeze(e @ params["attn_v"]["v"], -1)  # [B, T]
+        weights = jax.nn.softmax(mask_logits(scores, enc_mask), axis=-1)
+        context = jnp.einsum("bt,btd->bd", weights, encoded)
+        return context, weights
+
+    # -- one autoregressive step ----------------------------------------
+    def step(
+        self,
+        params: dict,
+        prev_ids: jnp.ndarray,  # [B] int32
+        state: dict,
+        encoded: jnp.ndarray,  # [B, T, D]
+        enc_mask: jnp.ndarray,  # [B, T]
+        keys: jnp.ndarray = None,  # optional precomputed attn keys
+    ) -> Tuple[jnp.ndarray, dict]:
+        if keys is None:
+            keys = core.linear_apply(params["attn_enc"], encoded)
+        emb = core.embedding_apply(params["embed"], prev_ids)
+        x = jnp.concatenate([emb, state["context"]], axis=-1)
+        new_lstm = []
+        for i in range(self.num_layers):
+            h, c = state["lstm"][i]
+            p = params[f"lstm_{i}"]
+            xw = x @ p["wx"] + p["b"]
+            h, c = core.lstm_cell(xw, h, c, p["wh"])
+            new_lstm.append((h, c))
+            x = h
+        context, weights = self._attend(params, x, keys, encoded, enc_mask)
+        logits = core.linear_apply(
+            params["out"], jnp.concatenate([x, context], axis=-1)
+        )
+        return logits, {"lstm": new_lstm, "context": context,
+                        "attn_weights": weights}
+
+    # -- teacher-forced training pass ------------------------------------
+    def apply(
+        self,
+        params: dict,
+        encoded: jnp.ndarray,  # [B, T, D]
+        enc_lengths: jnp.ndarray,  # [B]
+        targets: jnp.ndarray,  # [B, L]
+        target_lengths: jnp.ndarray,  # [B]
+        train: bool = False,
+        rng=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (logits [B, L+1, V+1], logit_lengths = target_lengths+1).
+
+        Step t consumes target t-1 (or its own argmax under scheduled
+        sampling) and must predict target t; step L predicts <eos>.
+        """
+        B, L = targets.shape
+        T = encoded.shape[1]
+        enc_mask = sequence_mask(enc_lengths, T)
+        keys = core.linear_apply(params["attn_enc"], encoded)
+        sos = jnp.full((B, 1), self.sos_id, targets.dtype)
+        inputs = jnp.concatenate([sos, targets], axis=1)  # [B, L+1]
+        state0 = self.init_state(B, encoded.dtype)
+        state0.pop("attn_weights", None)
+        sample_prob = self.sample_prob if train else 0.0
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def scan_step(carry, inp):
+            state, prev_pred = carry
+            gt_prev, step_key = inp
+            if sample_prob > 0.0:
+                use_sampled = jax.random.bernoulli(
+                    step_key, sample_prob, (B,)
+                )
+                prev_ids = jnp.where(use_sampled, prev_pred, gt_prev)
+            else:
+                prev_ids = gt_prev
+            logits, new_state = self.step(
+                params, prev_ids, state, encoded, enc_mask, keys
+            )
+            new_state.pop("attn_weights", None)
+            return (new_state, jnp.argmax(logits, -1).astype(targets.dtype)), logits
+
+        step_keys = jax.random.split(rng, L + 1)
+        inputs_t = jnp.swapaxes(inputs, 0, 1)  # [L+1, B]
+        (_, _), logits = jax.lax.scan(
+            scan_step,
+            (state0, jnp.full((B,), self.sos_id, targets.dtype)),
+            (inputs_t, step_keys),
+        )
+        logits = jnp.swapaxes(logits, 0, 1)  # [B, L+1, V+1]
+        return logits, target_lengths + 1
+
+
+def build_decoder(conf: Conf, encoder_dim: int, num_labels: int) -> Decoder:
+    """Factory by conf['decoder'] (reference: ed_decoder_factory.py)."""
+    return DECODERS.build(
+        conf.get("decoder", "linear_ctc"), conf, encoder_dim, num_labels
+    )

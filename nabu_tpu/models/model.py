@@ -1,0 +1,112 @@
+"""Model container: encoder + one-or-more decoder heads from model.cfg.
+
+Capability parity with nabu/neuralnetworks/models/model.py +
+model_factory.py: composes the configured encoder and decoder(s) and
+maps ``(inputs, input_lengths, targets, target_lengths)`` to logits +
+logit lengths per head. Multiple heads over a shared encoder give the
+joint CTC/attention multi-task model (BASELINE.json config 5) — each
+head's section carries its ``loss`` and ``loss_weight``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nabu_tpu.config import Conf, ConfigFile
+from nabu_tpu.models.decoders import Decoder, build_decoder
+from nabu_tpu.models.encoders import Encoder, build_encoder
+
+
+class Model:
+    """Encoder + named decoder heads, all functional pytree modules."""
+
+    def __init__(
+        self,
+        encoder: Encoder,
+        decoders: Dict[str, Decoder],
+        head_confs: Dict[str, Conf],
+    ):
+        self.encoder = encoder
+        self.decoders = decoders
+        self.head_confs = head_confs
+
+    # loss spec per head: (loss name, weight)
+    def head_loss(self, name: str) -> Tuple[str, float]:
+        conf = self.head_confs[name]
+        default = (
+            "ctc" if conf.get("decoder", "").endswith("ctc") else "cross_entropy"
+        )
+        return conf.get("loss", default), conf.getfloat("loss_weight", 1.0)
+
+    def init(self, key) -> dict:
+        k_enc, *k_dec = jax.random.split(key, 1 + len(self.decoders))
+        return {
+            "encoder": self.encoder.init(k_enc),
+            "decoders": {
+                name: dec.init(k)
+                for (name, dec), k in zip(self.decoders.items(), k_dec)
+            },
+        }
+
+    def encode(self, params, features, lengths, train=False, rng=None):
+        return self.encoder.apply(
+            params["encoder"], features, lengths, train=train, rng=rng
+        )
+
+    def apply(
+        self,
+        params: dict,
+        features: jnp.ndarray,
+        feature_lengths: jnp.ndarray,
+        targets: Optional[jnp.ndarray] = None,
+        target_lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng=None,
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Returns {head name: (logits, logit_lengths)}."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        rng_enc, rng_dec = jax.random.split(rng)
+        encoded, enc_lengths = self.encode(
+            params, features, feature_lengths, train=train, rng=rng_enc
+        )
+        outputs = {}
+        for name, dec in self.decoders.items():
+            rng_dec, sub = jax.random.split(rng_dec)
+            outputs[name] = dec.apply(
+                params["decoders"][name],
+                encoded,
+                enc_lengths,
+                targets=targets,
+                target_lengths=target_lengths,
+                train=train,
+                rng=sub,
+            )
+        return outputs
+
+
+def build_model(model_cfg: ConfigFile, input_dim: int, num_labels: int) -> Model:
+    """Build a Model from a model.cfg file.
+
+    Layout: ``[encoder]`` section selects/configures the encoder;
+    ``[model] decoders = name...`` lists head sections (default: the
+    single ``[decoder]`` section).
+    """
+    enc_conf = model_cfg.section("encoder")
+    encoder = build_encoder(enc_conf, input_dim)
+
+    if "model" in model_cfg and "decoders" in model_cfg.section("model"):
+        head_names = model_cfg.section("model").getlist("decoders")
+    else:
+        head_names = ["decoder"]
+
+    decoders: Dict[str, Decoder] = {}
+    head_confs: Dict[str, Conf] = {}
+    for name in head_names:
+        conf = model_cfg.section(name)
+        decoders[name] = build_decoder(conf, encoder.output_dim, num_labels)
+        head_confs[name] = conf
+    return Model(encoder, decoders, head_confs)

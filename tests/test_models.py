@@ -1,0 +1,231 @@
+"""Tests for core model components: masked LSTM scan vs numpy oracle,
+BLSTM padding correctness, pyramid stack, encoders, speller consistency
+(SURVEY.md §4: LSTM scan vs flax-free numpy cell)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nabu_tpu.config import Conf
+from nabu_tpu.models import core
+from nabu_tpu.models.decoders import build_decoder
+from nabu_tpu.models.encoders import build_encoder
+
+
+def np_lstm(x, wx, wh, b, forget_bias=1.0):
+    """Per-sequence numpy LSTM oracle, x [T, D]."""
+    H = wh.shape[0]
+    h = np.zeros(H)
+    c = np.zeros(H)
+    out = []
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    for t in range(x.shape[0]):
+        gates = x[t] @ wx + h @ wh + b
+        i, f, g, o = np.split(gates, 4)
+        c = sig(f + forget_bias) * c + sig(i) * np.tanh(g)
+        h = sig(o) * np.tanh(c)
+        out.append(h.copy())
+    return np.stack(out) if out else np.zeros((0, H))
+
+
+class TestLSTM:
+    def setup_method(self, method):
+        key = jax.random.PRNGKey(0)
+        self.p = core.lstm_init(key, 5, 7)
+        rng = np.random.default_rng(0)
+        self.x = rng.standard_normal((3, 10, 5)).astype(np.float32)
+        self.lengths = np.array([10, 6, 1], dtype=np.int32)
+
+    def test_forward_matches_numpy(self):
+        ys = core.lstm_scan(self.p, jnp.asarray(self.x), jnp.asarray(self.lengths))
+        wx, wh, b = map(np.asarray, (self.p["wx"], self.p["wh"], self.p["b"]))
+        for bidx in range(3):
+            L = self.lengths[bidx]
+            ref = np_lstm(self.x[bidx, :L], wx, wh, b)
+            np.testing.assert_allclose(
+                np.asarray(ys[bidx, :L]), ref, rtol=1e-4, atol=1e-5
+            )
+            # padding outputs are exactly zero
+            np.testing.assert_array_equal(np.asarray(ys[bidx, L:]), 0.0)
+
+    def test_backward_matches_numpy_on_reversed(self):
+        ys = core.lstm_scan(
+            self.p, jnp.asarray(self.x), jnp.asarray(self.lengths), reverse=True
+        )
+        wx, wh, b = map(np.asarray, (self.p["wx"], self.p["wh"], self.p["b"]))
+        for bidx in range(3):
+            L = self.lengths[bidx]
+            ref = np_lstm(self.x[bidx, :L][::-1], wx, wh, b)[::-1]
+            np.testing.assert_allclose(
+                np.asarray(ys[bidx, :L]), ref, rtol=1e-4, atol=1e-5
+            )
+            np.testing.assert_array_equal(np.asarray(ys[bidx, L:]), 0.0)
+
+    def test_padding_invariance(self):
+        """Extra padding frames must not change valid outputs."""
+        ys1 = core.lstm_scan(self.p, jnp.asarray(self.x), jnp.asarray(self.lengths))
+        x_pad = np.concatenate(
+            [self.x, np.full((3, 4, 5), 9.9, np.float32)], axis=1
+        )
+        ys2 = core.lstm_scan(self.p, jnp.asarray(x_pad), jnp.asarray(self.lengths))
+        np.testing.assert_allclose(
+            np.asarray(ys1), np.asarray(ys2[:, :10]), rtol=1e-5, atol=1e-6
+        )
+
+
+class TestPyramid:
+    def test_even(self):
+        x = jnp.arange(24, dtype=jnp.float32).reshape(1, 4, 6)
+        y, l = core.pyramid_stack(x, jnp.array([4]))
+        assert y.shape == (1, 2, 12)
+        assert int(l[0]) == 2
+        np.testing.assert_array_equal(
+            np.asarray(y[0, 0]), np.arange(12, dtype=np.float32)
+        )
+
+    def test_odd(self):
+        x = jnp.ones((2, 5, 3))
+        y, l = core.pyramid_stack(x, jnp.array([5, 3]))
+        assert y.shape == (2, 3, 6)
+        np.testing.assert_array_equal(np.asarray(l), [3, 2])
+
+
+class TestEncoders:
+    @pytest.mark.parametrize("name,out_dim_mult,subsample", [
+        ("dblstm", 2, 1), ("listener", 2, 8), ("dnn", 1, 1),
+    ])
+    def test_shapes(self, name, out_dim_mult, subsample):
+        conf = Conf({"encoder": name, "num_layers": "3", "num_units": "16"})
+        enc = build_encoder(conf, input_dim=8)
+        params = enc.init(jax.random.PRNGKey(0))
+        x = jnp.ones((2, 24, 8))
+        lengths = jnp.array([24, 17])
+        y, ly = jax.jit(enc.apply)(params, x, lengths)
+        assert y.shape[0] == 2
+        assert y.shape[1] == 24 // subsample
+        assert y.shape[2] == enc.output_dim == 16 * out_dim_mult
+        expected = np.array([24, 17])
+        for _ in range(3 if name == "listener" else 0):
+            expected = (expected + 1) // 2
+        np.testing.assert_array_equal(np.asarray(ly), expected)
+
+
+class TestSpeller:
+    def setup_method(self, method):
+        conf = Conf({
+            "decoder": "speller", "num_layers": "2", "num_units": "12",
+            "embed_dim": "6", "attention_units": "10",
+        })
+        self.dec = build_decoder(conf, encoder_dim=14, num_labels=5)
+        self.params = self.dec.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(1)
+        self.encoded = jnp.asarray(
+            rng.standard_normal((2, 7, 14)).astype(np.float32)
+        )
+        self.enc_len = jnp.array([7, 4])
+        self.targets = jnp.array([[1, 2, 3, 0], [4, 0, 0, 0]], jnp.int32)
+        self.tgt_len = jnp.array([4, 1])
+
+    def test_apply_shapes(self):
+        logits, ll = self.dec.apply(
+            self.params, self.encoded, self.enc_len,
+            self.targets, self.tgt_len,
+        )
+        assert logits.shape == (2, 5, 6)  # [B, L+1, V+1]
+        np.testing.assert_array_equal(np.asarray(ll), [5, 2])
+
+    def test_apply_matches_step_loop(self):
+        """Teacher-forced scan must equal a manual step loop."""
+        from nabu_tpu.ops.masking import sequence_mask
+
+        logits, _ = self.dec.apply(
+            self.params, self.encoded, self.enc_len,
+            self.targets, self.tgt_len,
+        )
+        enc_mask = sequence_mask(self.enc_len, 7)
+        state = self.dec.init_state(2)
+        prev = jnp.full((2,), self.dec.sos_id, jnp.int32)
+        outs = []
+        for t in range(5):
+            step_logits, state = self.dec.step(
+                self.params, prev, state, self.encoded, enc_mask
+            )
+            state.pop("attn_weights", None)
+            outs.append(step_logits)
+            prev = self.targets[:, t] if t < 4 else prev
+        ref = jnp.stack(outs, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_scheduled_sampling_changes_outputs(self):
+        self.dec.sample_prob = 1.0
+        logits_sampled, _ = self.dec.apply(
+            self.params, self.encoded, self.enc_len,
+            self.targets, self.tgt_len, train=True,
+            rng=jax.random.PRNGKey(3),
+        )
+        self.dec.sample_prob = 0.0
+        logits_tf, _ = self.dec.apply(
+            self.params, self.encoded, self.enc_len,
+            self.targets, self.tgt_len, train=True,
+            rng=jax.random.PRNGKey(3),
+        )
+        # step 0 identical (both feed sos), later steps differ
+        np.testing.assert_allclose(
+            np.asarray(logits_sampled[:, 0]), np.asarray(logits_tf[:, 0]),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert not np.allclose(
+            np.asarray(logits_sampled[:, 1:]), np.asarray(logits_tf[:, 1:])
+        )
+
+    def test_attention_masked(self):
+        """Attention must ignore encoder frames beyond enc_len."""
+        enc2 = self.encoded.at[1, 4:].set(99.0)
+        l1, _ = self.dec.apply(
+            self.params, self.encoded, self.enc_len,
+            self.targets, self.tgt_len,
+        )
+        l2, _ = self.dec.apply(
+            self.params, enc2, self.enc_len, self.targets, self.tgt_len
+        )
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestModelContainer:
+    def test_joint_model(self):
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+
+        cfg = ConfigFile({
+            "model": Conf({"decoders": "att ctc"}, "model"),
+            "encoder": Conf({
+                "encoder": "listener", "num_layers": "1", "num_units": "8",
+            }, "encoder"),
+            "att": Conf({
+                "decoder": "speller", "num_units": "8", "loss_weight": "0.7",
+            }, "att"),
+            "ctc": Conf({
+                "decoder": "linear_ctc", "loss_weight": "0.3",
+            }, "ctc"),
+        })
+        model = build_model(cfg, input_dim=6, num_labels=4)
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(
+            params,
+            jnp.ones((2, 12, 6)),
+            jnp.array([12, 8]),
+            targets=jnp.array([[1, 2], [3, 0]], jnp.int32),
+            target_lengths=jnp.array([2, 1]),
+        )
+        att_logits, att_len = out["att"]
+        ctc_logits, ctc_len = out["ctc"]
+        assert att_logits.shape == (2, 3, 5)
+        assert ctc_logits.shape == (2, 6, 5)  # one pyramid layer: T/2
+        np.testing.assert_array_equal(np.asarray(ctc_len), [6, 4])
+        assert model.head_loss("att") == ("cross_entropy", 0.7)
+        assert model.head_loss("ctc") == ("ctc", 0.3)
