@@ -78,7 +78,9 @@ class Processor:
         raise NotImplementedError
 
     def metadata(self) -> Dict:
-        return {"dim": self.dim, "max_length": self.max_length}
+        # dim / max_length / histogram stats come from the ShardWriter,
+        # which sees every array even under multiprocess data prep
+        return {}
 
 
 @PROCESSORS.register("audio")

@@ -90,7 +90,10 @@ class ShardWriter:
             },
         }
         if extra_metadata:
-            meta.update(extra_metadata)
+            # writer-derived stats win over unset (None) processor fields
+            meta.update(
+                {k: v for k, v in extra_metadata.items() if v is not None}
+            )
         with open(os.path.join(self.directory, METADATA_FILE), "w") as f:
             json.dump(meta, f, indent=2)
         return meta

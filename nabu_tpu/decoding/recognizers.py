@@ -1,0 +1,169 @@
+"""Recognizers: batched jit-compiled decoders over trained models.
+
+Capability parity with nabu/neuralnetworks/decoders/ (max_decoder.py,
+ctc_decoder.py, beam_search_decoder.py + decoder.py/decoder_factory.py).
+Every recognizer maps ``(params, features, feature_lengths) -> Nbest``
+with all heavy work inside jit and beam state held as fixed-shape device
+arrays (no per-utterance graphs — BASELINE.json:5). Beam searches live
+in nabu_tpu.decoding.beam (attention) and ctc_beam (CTC prefix).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nabu_tpu.config import Conf
+from nabu_tpu.ops import ctc as ctc_ops
+from nabu_tpu.ops.masking import sequence_mask
+from nabu_tpu.registry import RECOGNIZERS
+
+
+@dataclasses.dataclass
+class Nbest:
+    """Decode result: ids [B, N, L], lengths [B, N], scores [B, N]."""
+
+    ids: np.ndarray
+    lengths: np.ndarray
+    scores: np.ndarray
+
+    def best(self, b: int) -> List[int]:
+        return list(self.ids[b, 0, : self.lengths[b, 0]])
+
+    def nbest(self, b: int):
+        return [
+            (float(self.scores[b, n]), list(self.ids[b, n, : self.lengths[b, n]]))
+            for n in range(self.ids.shape[1])
+        ]
+
+
+class Recognizer:
+    """Base recognizer built from a recognizer.cfg section."""
+
+    def __init__(self, conf: Conf, model, head: Optional[str] = None):
+        self.conf = conf
+        self.model = model
+        self.head = head or conf.get("head") or next(iter(model.decoders))
+        self.decoder = model.decoders[self.head]
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        raise NotImplementedError
+
+
+@RECOGNIZERS.register("ctc_greedy")
+@RECOGNIZERS.register("max")
+class CTCGreedyRecognizer(Recognizer):
+    """Per-frame argmax + CTC collapse (reference: max_decoder.py /
+    greedy path of ctc_decoder.py)."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        self.blank_id = getattr(
+            self.decoder, "blank_id", self.decoder.output_dim - 1
+        )
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        outputs = self.model.apply(params, features, feature_lengths)
+        logits, logit_lengths = outputs[self.head]
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        frame_ids = jnp.argmax(logprobs, axis=-1)
+        score = jnp.sum(
+            jnp.max(logprobs, axis=-1)
+            * sequence_mask(logit_lengths, logits.shape[1]),
+            axis=-1,
+        )
+        ids, lengths = ctc_ops.ctc_greedy_collapse(
+            frame_ids, logit_lengths, self.blank_id
+        )
+        return ids, lengths, score
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        ids, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        return Nbest(
+            ids=np.asarray(ids)[:, None, :],
+            lengths=np.asarray(lengths)[:, None],
+            scores=np.asarray(scores)[:, None],
+        )
+
+
+@RECOGNIZERS.register("attention_greedy")
+class AttentionGreedyRecognizer(Recognizer):
+    """Autoregressive argmax decode of an attention Speller head."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        if not hasattr(self.decoder, "step"):
+            raise ValueError(
+                f"head {self.head!r} is not autoregressive"
+            )
+        self.max_steps = conf.getint("max_steps", 0)
+        self.length_ratio = conf.getfloat("max_length_ratio", 1.0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        encoded, enc_lengths = self.model.encode(
+            params, features, feature_lengths
+        )
+        B, T, _ = encoded.shape
+        dec = self.decoder
+        dparams = params["decoders"][self.head]
+        enc_mask = sequence_mask(enc_lengths, T)
+        max_steps = self.max_steps or max(
+            int(T * self.length_ratio), 8
+        )
+
+        def step_fn(carry, _):
+            prev, state, finished, score = carry
+            logits, new_state = dec.step(
+                dparams, prev, state, encoded, enc_mask
+            )
+            new_state.pop("attn_weights", None)
+            logprobs = jax.nn.log_softmax(logits, -1)
+            nxt = jnp.argmax(logprobs, -1).astype(jnp.int32)
+            step_score = jnp.take_along_axis(
+                logprobs, nxt[:, None], axis=1
+            )[:, 0]
+            score = score + jnp.where(finished, 0.0, step_score)
+            out = jnp.where(finished, dec.eos_id, nxt)
+            finished = finished | (nxt == dec.eos_id)
+            return (out, new_state, finished, score), out
+
+        init = (
+            jnp.full((B,), dec.sos_id, jnp.int32),
+            dec.init_state(B, encoded.dtype),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), encoded.dtype),
+        )
+        (_, _, _, scores), ids = jax.lax.scan(
+            step_fn, init, None, length=max_steps
+        )
+        ids = jnp.swapaxes(ids, 0, 1)  # [B, max_steps]
+        is_eos = ids == dec.eos_id
+        lengths = jnp.where(
+            is_eos.any(axis=1),
+            jnp.argmax(is_eos, axis=1),
+            ids.shape[1],
+        ).astype(jnp.int32)
+        return ids, lengths, scores
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        ids, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        return Nbest(
+            ids=np.asarray(ids)[:, None, :],
+            lengths=np.asarray(lengths)[:, None],
+            scores=np.asarray(scores)[:, None],
+        )
+
+
+def build_recognizer(conf: Conf, model) -> Recognizer:
+    """Factory by conf['recognizer'] (reference: decoder_factory.py)."""
+    return RECOGNIZERS.build(conf.get("recognizer", "ctc_greedy"), conf, model)

@@ -1,0 +1,106 @@
+"""Device mesh construction and sharding rules.
+
+The mesh has two logical axes: ``data`` (batch / data parallel — psum
+over ICI at the gradient reduction GSPMD inserts) and ``model`` (GSPMD
+parameter sharding for larger-than-chip encoders, BASELINE.json:5).
+Batches shard over ``data``; parameter partition rules walk the params
+pytree by path and shard the large gate matrices over ``model``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a [data, model] mesh over the available devices.
+
+    model-axis neighbors are adjacent device ids so tensor-parallel
+    collectives ride the fastest links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if num_data is None:
+        num_data = n // num_model
+    if num_data * num_model != n:
+        raise ValueError(
+            f"mesh {num_data}x{num_model} != {n} devices"
+        )
+    arr = np.asarray(devices).reshape(num_data, num_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim over data axis, rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch dict onto the mesh, batch dim over 'data'."""
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(DATA_AXIS) if x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def param_partition_specs(
+    params, model_parallel_size: int = 1, min_shard_size: int = 1 << 14
+):
+    """PartitionSpec pytree for a params tree.
+
+    Rules (by leaf path/shape):
+      - LSTM/linear kernels [in, out]: shard ``out`` over MODEL_AXIS
+        (the 4H gate axis for LSTMs — each shard computes its gates
+        locally; GSPMD all-gathers the H-sized hidden as needed);
+      - embedding tables [vocab, dim]: replicated (vocabs are small in
+        ASR);
+      - biases and small leaves: replicated.
+    Leaves whose element count is below ``min_shard_size`` stay
+    replicated to avoid collective overhead on tiny tensors.
+    """
+
+    def spec_for(path, leaf) -> P:
+        if leaf.ndim < 2 or leaf.size < min_shard_size:
+            return P()
+        if model_parallel_size > 1 and leaf.shape[-1] % model_parallel_size:
+            return P()
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("wx", "wh", "w"):
+            return P(None, MODEL_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params, specs=None):
+    """Place params on the mesh according to partition specs."""
+    if specs is None:
+        specs = param_partition_specs(
+            params, model_parallel_size=mesh.shape[MODEL_AXIS]
+        )
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

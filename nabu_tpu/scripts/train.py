@@ -1,0 +1,86 @@
+"""`run train`: build model + loaders + evaluator + trainer, train.
+
+Capability parity with nabu/scripts/train.py (SURVEY.md §3.2), minus the
+parameter-server machinery: multi-host runs launch this same script once
+per host (e.g. ``gcloud ... tpu-vm ssh --worker=all``) and
+``jax.distributed.initialize`` forms the process group over DCN; the
+mesh then spans all chips and GSPMD handles gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from nabu_tpu.config import Recipe
+from nabu_tpu.evaluators import build_evaluator
+from nabu_tpu.parallel import make_mesh
+from nabu_tpu.scripts.common import copy_recipe, make_loader, model_from_recipe
+from nabu_tpu.training.trainer import build_trainer
+
+
+def main(
+    recipe_path: str,
+    expdir: str,
+    distributed: bool = False,
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    num_model_parallel: int = 1,
+) -> dict:
+    if distributed:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    host_id = jax.process_index()
+    num_hosts = jax.process_count()
+
+    recipe = Recipe(recipe_path)
+    os.makedirs(expdir, exist_ok=True)
+    copy_recipe(recipe, expdir)
+
+    trainer_conf = recipe.trainer.section("trainer")
+    batch_size = trainer_conf.getint("batch_size", 16)
+    num_buckets = trainer_conf.getint("num_buckets", 4)
+
+    model, _ = model_from_recipe(
+        recipe, expdir, trainer_conf["features"], trainer_conf["targets"]
+    )
+    loader, _, _ = make_loader(
+        recipe,
+        expdir,
+        trainer_conf,
+        batch_size=batch_size,
+        num_buckets=num_buckets,
+        seed=trainer_conf.getint("shuffle_seed", 0),
+        host_id=host_id,
+        num_hosts=num_hosts,
+    )
+
+    valid_fn = None
+    if recipe.has("validation_evaluator"):
+        vconf = recipe.validation_evaluator.section("evaluator")
+        vloader, _, _ = make_loader(
+            recipe,
+            expdir,
+            vconf,
+            batch_size=vconf.getint("batch_size", batch_size),
+            num_buckets=vconf.getint("num_buckets", 2),
+        )
+        valid_fn = build_evaluator(vconf, model, vloader)
+
+    mesh = make_mesh(num_model=num_model_parallel)
+    trainer = build_trainer(
+        trainer_conf, model, loader, expdir, valid_fn=valid_fn, mesh=mesh
+    )
+    result = trainer.train()
+    print(
+        f"[train] finished at step {result['step']}, "
+        f"best metric {result['best_metric']:.4f}, "
+        f"early stop: {result['stopped_early']}"
+    )
+    return result

@@ -1,0 +1,105 @@
+"""Checkpointing: latest/best separation, resume, warm-start.
+
+Capability parity with the reference trainer's tf.train.Saver behavior
+(periodic saves via MonitoredTrainingSession, a separately kept
+best-validated model, ``resume_training``, and the LoadAtBegin
+warm-start hook — SURVEY.md §5 checkpoint/resume). Built on orbax:
+``latest/`` holds the rolling training state (params, opt_state, step,
+lr_scale, ...); ``best/`` holds the best-on-dev snapshot. Each
+top-level state key is its own orbax sub-checkpoint, so restoring a
+subset (e.g. params only, for test/decode or warm-start) needs no
+full-tree template.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+LATEST = "latest"
+BEST = "best"
+
+
+def _is_scalar(value) -> bool:
+    if isinstance(value, (int, float, np.number)):
+        return True
+    return hasattr(value, "shape") and getattr(value, "ndim", None) == 0
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, state: Dict[str, Any]) -> None:
+        """Atomically save a dict of pytrees, one sub-checkpoint per key."""
+        path = self._path(name)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for key, value in state.items():
+            # wrap scalars so every sub-checkpoint is a pytree of arrays
+            tree = {"value": np.asarray(value)} if _is_scalar(value) else value
+            self._ckptr.save(os.path.join(tmp, key), tree)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def restore(self, name: str, template: Dict[str, Any]) -> Dict[str, Any]:
+        """Restore the keys present in ``template`` (partial by design)."""
+        out = {}
+        for key, value in template.items():
+            sub = os.path.join(self._path(name), key)
+            if not os.path.isdir(sub):
+                out[key] = value  # key absent in checkpoint: keep template
+                continue
+            if _is_scalar(value):
+                arr = np.asarray(value)
+                restored = self._ckptr.restore(
+                    sub,
+                    {"value": jax.ShapeDtypeStruct(arr.shape, arr.dtype)},
+                )
+                out[key] = restored["value"]
+            else:
+                abstract = jax.tree.map(
+                    lambda x: ocp.utils.to_shape_dtype_struct(x)
+                    if hasattr(x, "shape")
+                    else x,
+                    value,
+                )
+                out[key] = self._ckptr.restore(sub, abstract)
+        return out
+
+    def save_latest(self, state):
+        self.save(LATEST, state)
+
+    def save_best(self, state):
+        self.save(BEST, state)
+
+
+def warm_start(params, pretrained_dir: str, subtree: Optional[str] = None):
+    """Load pretrained params (reference LoadAtBegin hook): overwrite
+    matching leaves of ``params`` from a ``best`` checkpoint at
+    ``pretrained_dir``; ``subtree`` restricts to e.g. 'encoder'."""
+    mgr = CheckpointManager(pretrained_dir)
+    name = BEST if mgr.exists(BEST) else LATEST
+    loaded = mgr.restore(name, {"params": params})["params"]
+    if subtree is None:
+        return loaded
+    out = dict(params)
+    out[subtree] = loaded[subtree]
+    return out

@@ -1,0 +1,301 @@
+"""Trainer: jitted data-parallel train step, LR schedule, validation-
+driven early stopping with restore-best + LR backoff, checkpointing.
+
+Capability parity with nabu/neuralnetworks/trainers/trainer.py: Adam (or
+SGD/AdamW) with gradient clipping, exponential LR decay, periodic
+validation, early stopping with ``num_tries`` retries that restore the
+best checkpoint and back off the learning rate (the reference's
+retry/backoff loop is part of parity — SURVEY.md §2 trainer row),
+``resume`` from expdir and warm-start from a pretrained model.
+
+TPU-first: one jitted train step per bucket shape; batches are placed
+with a ``data``-axis NamedSharding and params with GSPMD partition
+specs, so the same step function runs single-chip or across a pod slice
+with psum-over-ICI gradient reduction inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nabu_tpu.config import Conf
+from nabu_tpu.data.pipeline import BucketedLoader, batch_to_arrays
+from nabu_tpu.ops.losses import make_loss_computer
+from nabu_tpu.parallel import mesh as mesh_lib
+from nabu_tpu.registry import TRAINERS
+from nabu_tpu.training.checkpoints import CheckpointManager, warm_start
+from nabu_tpu.training.metrics import MetricWriter
+
+
+def build_optimizer(conf: Conf) -> optax.GradientTransformation:
+    """Gradient transformation producing (-lr_t * direction) updates.
+
+    The runtime LR backoff multiplier is applied separately in the train
+    step so it can change without re-jitting.
+    """
+    clip = conf.getfloat("clip_grad_norm", 5.0)
+    base_lr = conf.getfloat("learning_rate", 1e-3)
+    decay = conf.getfloat("learning_rate_decay", 1.0)
+    decay_steps = conf.getint("decay_steps", 1000)
+    warmup = conf.getint("warmup_steps", 0)
+    name = conf.get("optimizer", "adam").lower()
+
+    def schedule(step):
+        lr = base_lr * (decay ** (step / decay_steps))
+        if warmup > 0:
+            lr = lr * jnp.minimum(1.0, (step + 1) / warmup)
+        return -lr
+
+    if name == "adam":
+        direction = optax.scale_by_adam()
+    elif name == "adamw":
+        direction = optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(conf.getfloat("weight_decay", 1e-2)),
+        )
+    elif name == "sgd":
+        mom = conf.getfloat("momentum", 0.0)
+        direction = (
+            optax.trace(decay=mom) if mom else optax.identity()
+        )
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+
+    parts = []
+    if clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    parts.append(direction)
+    parts.append(optax.scale_by_schedule(schedule))
+    return optax.chain(*parts)
+
+
+@TRAINERS.register("standard")
+class Trainer:
+    """Drives training of a Model over a BucketedLoader."""
+
+    def __init__(
+        self,
+        conf: Conf,
+        model,
+        loader: BucketedLoader,
+        expdir: str,
+        valid_fn: Optional[Callable] = None,
+        mesh=None,
+        loss_fn: Optional[Callable] = None,
+    ):
+        self.conf = conf
+        self.model = model
+        self.loader = loader
+        self.expdir = expdir
+        self.valid_fn = valid_fn
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+        self.num_steps = conf.getint("num_steps", 0)
+        if not self.num_steps:
+            epochs = conf.getint("num_epochs", 10)
+            self.num_steps = epochs * max(loader.num_batches(), 1)
+        self.valid_frequency = conf.getint("valid_frequency", 0)
+        self.log_frequency = conf.getint("log_frequency", 10)
+        self.ckpt_frequency = conf.getint("ckpt_frequency", 0)
+        self.num_tries = conf.getint("num_tries", 3)
+        self.lr_backoff = conf.getfloat("lr_backoff_factor", 0.5)
+        self.early_stopping = conf.getbool("early_stopping", True)
+        self.frame_shift = conf.getfloat("frame_shift", 0.01)
+
+        self.tx = build_optimizer(conf)
+        self.loss_fn = loss_fn or make_loss_computer(model)
+        self.ckpt = CheckpointManager(f"{expdir}/checkpoints")
+        self.writer = MetricWriter(f"{expdir}/logs")
+
+        self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+
+    # -- one optimizer step ----------------------------------------------
+    def _step_impl(self, params, opt_state, batch, rng, lr_scale):
+        (loss, metrics), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True
+        )(params, batch, rng, True)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    # -- state helpers ---------------------------------------------------
+    def init_state(self, rng_seed: int = 0) -> Dict:
+        params = self.model.init(jax.random.PRNGKey(rng_seed))
+        pretrained = self.conf.get("pretrained_dir")
+        if pretrained:
+            params = warm_start(
+                params,
+                pretrained,
+                self.conf.get("pretrained_subtree"),
+            )
+        opt_state = self.tx.init(params)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": np.int64(0),
+            "lr_scale": np.float32(1.0),
+            "best_metric": np.float32(np.inf),
+            "tries": np.int64(0),
+        }
+
+    # -- main loop -------------------------------------------------------
+    def train(self, rng_seed: int = 0) -> Dict:
+        state = self.init_state(rng_seed)
+        if self.conf.getbool("resume", False) and self.ckpt.exists("latest"):
+            state = self.ckpt.restore("latest", state)
+
+        specs = mesh_lib.param_partition_specs(
+            state["params"],
+            model_parallel_size=self.mesh.shape[mesh_lib.MODEL_AXIS],
+        )
+        params = mesh_lib.shard_params(self.mesh, state["params"], specs)
+        # optimizer moments mirror the params tree (same leaf names), so
+        # the same path-based rules shard them consistently
+        opt_specs = mesh_lib.param_partition_specs(
+            state["opt_state"],
+            model_parallel_size=self.mesh.shape[mesh_lib.MODEL_AXIS],
+        )
+        opt_state = mesh_lib.shard_params(
+            self.mesh, state["opt_state"], opt_specs
+        )
+        step = int(state["step"])
+        lr_scale = float(state["lr_scale"])
+        best_metric = float(state["best_metric"])
+        tries = int(state["tries"])
+        base_rng = jax.random.PRNGKey(1234 + rng_seed)
+
+        epoch_size = max(self.loader.num_batches(), 1)
+        epoch = step // epoch_size
+        skip = step % epoch_size
+        stop = False
+        t_last = time.time()
+        frames_since_log = 0
+
+        while not stop and step < self.num_steps:
+            for batch in self.loader.epoch(epoch, shuffle=True):
+                if skip > 0:
+                    skip -= 1
+                    continue
+                if step >= self.num_steps:
+                    break
+                arrays = mesh_lib.shard_batch(
+                    self.mesh, batch_to_arrays(batch)
+                )
+                rng = jax.random.fold_in(base_rng, step)
+                params, opt_state, metrics = self._train_step(
+                    params, opt_state, arrays, rng,
+                    jnp.float32(lr_scale),
+                )
+                frames_since_log += batch.num_audio_frames
+                step += 1
+
+                if step % self.log_frequency == 0 or step == self.num_steps:
+                    metrics = jax.device_get(metrics)
+                    now = time.time()
+                    audio_s = frames_since_log * self.frame_shift
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars["lr_scale"] = lr_scale
+                    scalars["audio_s_per_s"] = audio_s / max(
+                        now - t_last, 1e-9
+                    )
+                    self.writer.write(step, scalars, prefix="train/")
+                    t_last = now
+                    frames_since_log = 0
+
+                if self.ckpt_frequency and step % self.ckpt_frequency == 0:
+                    self._save_latest(
+                        params, opt_state, step, lr_scale, best_metric, tries
+                    )
+
+                if (
+                    self.valid_frequency
+                    and self.valid_fn is not None
+                    and step % self.valid_frequency == 0
+                ):
+                    metric = float(self.valid_fn(params))
+                    self.writer.write(step, {"metric": metric}, prefix="valid/")
+                    if metric < best_metric:
+                        best_metric = metric
+                        tries = 0
+                        self.ckpt.save_best(
+                            {
+                                "params": jax.device_get(params),
+                                "opt_state": jax.device_get(opt_state),
+                                "step": np.int64(step),
+                                "metric": np.float32(metric),
+                            }
+                        )
+                    elif self.early_stopping:
+                        tries += 1
+                        if self.ckpt.exists("best"):
+                            best = self.ckpt.restore(
+                                "best",
+                                {
+                                    "params": jax.device_get(params),
+                                    "opt_state": jax.device_get(opt_state),
+                                    "step": np.int64(0),
+                                    "metric": np.float32(0),
+                                },
+                            )
+                            params = mesh_lib.shard_params(
+                                self.mesh, best["params"], specs
+                            )
+                            opt_state = mesh_lib.shard_params(
+                                self.mesh, best["opt_state"], opt_specs
+                            )
+                        lr_scale *= self.lr_backoff
+                        self.writer.write(
+                            step,
+                            {"tries": tries, "lr_scale": lr_scale},
+                            prefix="early_stop/",
+                        )
+                        if tries >= self.num_tries:
+                            stop = True
+                            break
+            epoch += 1
+
+        self._save_latest(
+            params, opt_state, step, lr_scale, best_metric, tries
+        )
+        if self.valid_fn is None and not self.ckpt.exists("best"):
+            # no validation: final model doubles as best
+            self.ckpt.save_best(
+                {
+                    "params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "step": np.int64(step),
+                    "metric": np.float32(np.inf),
+                }
+            )
+        self.writer.close()
+        return {
+            "params": params,
+            "step": step,
+            "best_metric": best_metric,
+            "stopped_early": stop,
+        }
+
+    def _save_latest(self, params, opt_state, step, lr_scale, best, tries):
+        self.ckpt.save_latest(
+            {
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(opt_state),
+                "step": np.int64(step),
+                "lr_scale": np.float32(lr_scale),
+                "best_metric": np.float32(best),
+                "tries": np.int64(tries),
+            }
+        )
+
+
+def build_trainer(conf: Conf, *args, **kwargs) -> Trainer:
+    """Factory by conf['trainer'] (reference: trainer_factory)."""
+    return TRAINERS.build(conf.get("trainer", "standard"), conf, *args, **kwargs)
