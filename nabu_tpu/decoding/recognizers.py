@@ -68,7 +68,9 @@ class CTCGreedyRecognizer(Recognizer):
         self._decode = jax.jit(self._decode_impl)
 
     def _decode_impl(self, params, features, feature_lengths):
-        outputs = self.model.apply(params, features, feature_lengths)
+        outputs = self.model.apply(
+            params, features, feature_lengths, heads=(self.head,)
+        )
         logits, logit_lengths = outputs[self.head]
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         frame_ids = jnp.argmax(logprobs, axis=-1)
@@ -161,6 +163,100 @@ class AttentionGreedyRecognizer(Recognizer):
             ids=np.asarray(ids)[:, None, :],
             lengths=np.asarray(lengths)[:, None],
             scores=np.asarray(scores)[:, None],
+        )
+
+
+@RECOGNIZERS.register("attention_beam")
+@RECOGNIZERS.register("beam")
+class AttentionBeamRecognizer(Recognizer):
+    """Batched attention beam search (reference:
+    decoders/beam_search_decoder.py). conf: beam_width, nbest,
+    max_steps / max_length_ratio, length_norm_power, eos_bonus."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        if not hasattr(self.decoder, "step"):
+            raise ValueError(f"head {self.head!r} is not autoregressive")
+        self.beam_width = conf.getint("beam_width", 4)
+        self.nbest = min(conf.getint("nbest", 1), self.beam_width)
+        self.max_steps = conf.getint("max_steps", 0)
+        self.length_ratio = conf.getfloat("max_length_ratio", 1.0)
+        self.length_norm_power = conf.getfloat("length_norm_power", 0.0)
+        self.eos_bonus = conf.getfloat("eos_bonus", 0.0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        from nabu_tpu.decoding.beam import attention_beam_search
+
+        encoded, enc_lengths = self.model.encode(
+            params, features, feature_lengths
+        )
+        max_steps = self.max_steps or max(
+            int(encoded.shape[1] * self.length_ratio), 8
+        )
+        return attention_beam_search(
+            self.decoder,
+            params["decoders"][self.head],
+            encoded,
+            enc_lengths,
+            beam_width=self.beam_width,
+            max_steps=max_steps,
+            length_norm_power=self.length_norm_power,
+            eos_bonus=self.eos_bonus,
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        seqs, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        n = self.nbest
+        return Nbest(
+            ids=np.asarray(seqs)[:, :n],
+            lengths=np.asarray(lengths)[:, :n],
+            scores=np.asarray(scores)[:, :n],
+        )
+
+
+@RECOGNIZERS.register("ctc_beam")
+class CTCBeamRecognizer(Recognizer):
+    """Batched CTC prefix beam search (reference: ctc_decoder.py).
+    conf: beam_width, nbest, max_label_len."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        self.blank_id = getattr(
+            self.decoder, "blank_id", self.decoder.output_dim - 1
+        )
+        self.beam_width = conf.getint("beam_width", 4)
+        self.nbest = min(conf.getint("nbest", 1), self.beam_width)
+        self.max_label_len = conf.getint("max_label_len", 0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        from nabu_tpu.decoding.ctc_beam import ctc_prefix_beam_search
+
+        outputs = self.model.apply(
+            params, features, feature_lengths, heads=(self.head,)
+        )
+        logits, logit_lengths = outputs[self.head]
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        return ctc_prefix_beam_search(
+            logprobs,
+            logit_lengths,
+            beam_width=self.beam_width,
+            blank_id=self.blank_id,
+            max_label_len=self.max_label_len or None,
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        seqs, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        n = self.nbest
+        return Nbest(
+            ids=np.asarray(seqs)[:, :n],
+            lengths=np.asarray(lengths)[:, :n],
+            scores=np.asarray(scores)[:, :n],
         )
 
 

@@ -65,8 +65,12 @@ class Model:
         target_lengths: Optional[jnp.ndarray] = None,
         train: bool = False,
         rng=None,
+        heads=None,
     ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
-        """Returns {head name: (logits, logit_lengths)}."""
+        """Returns {head name: (logits, logit_lengths)}.
+
+        ``heads`` restricts which decoder heads run (decode-time callers
+        pick one head and need no targets for the others)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         rng_enc, rng_dec = jax.random.split(rng)
@@ -75,6 +79,8 @@ class Model:
         )
         outputs = {}
         for name, dec in self.decoders.items():
+            if heads is not None and name not in heads:
+                continue
             rng_dec, sub = jax.random.split(rng_dec)
             outputs[name] = dec.apply(
                 params["decoders"][name],

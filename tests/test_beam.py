@@ -1,0 +1,315 @@
+"""Beam search tests (SURVEY.md §4: beam search vs brute-force
+enumeration on tiny vocab/length; CTC prefix beam vs a trusted
+dict-based numpy reference)."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nabu_tpu.decoding.beam import attention_beam_search
+from nabu_tpu.decoding.ctc_beam import ctc_prefix_beam_search
+
+
+# ---------------------------------------------------------------------------
+# trusted numpy reference: Hannun-style prefix beam search with dicts
+# ---------------------------------------------------------------------------
+
+def np_prefix_beam(logprobs, beam_width, blank):
+    """logprobs [T, V] numpy. Returns list of (prefix tuple, logp)."""
+
+    def lse(*xs):
+        xs = [x for x in xs if x > -1e29]
+        if not xs:
+            return -np.inf
+        m = max(xs)
+        return m + np.log(sum(np.exp(x - m) for x in xs))
+
+    beams = {(): (0.0, -np.inf)}  # prefix -> (p_blank, p_nonblank)
+    for t in range(logprobs.shape[0]):
+        new = {}
+
+        def add(prefix, pb, pnb):
+            opb, opnb = new.get(prefix, (-np.inf, -np.inf))
+            new[prefix] = (lse(opb, pb), lse(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            ptot = lse(pb, pnb)
+            # blank
+            add(prefix, ptot + logprobs[t, blank], -np.inf)
+            # repeat last (stays in same prefix, via pnb)
+            if prefix:
+                add(prefix, -np.inf, pnb + logprobs[t, prefix[-1]])
+            for c in range(logprobs.shape[1]):
+                if c == blank:
+                    continue
+                if prefix and c == prefix[-1]:
+                    add(prefix + (c,), -np.inf, pb + logprobs[t, c])
+                else:
+                    add(prefix + (c,), -np.inf, ptot + logprobs[t, c])
+        beams = dict(
+            sorted(
+                new.items(), key=lambda kv: -lse(*kv[1])
+            )[:beam_width]
+        )
+    return sorted(
+        ((p, lse(*v)) for p, v in beams.items()), key=lambda kv: -kv[1]
+    )
+
+
+class TestCTCPrefixBeam:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_numpy_reference(self, seed):
+        rng = np.random.default_rng(seed)
+        T, V, W = 6, 4, 4
+        blank = V - 1
+        logits = rng.standard_normal((1, T, V)).astype(np.float32) * 2
+        logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+        seqs, lengths, scores = ctc_prefix_beam_search(
+            jnp.asarray(logprobs), jnp.array([T]), W, blank
+        )
+        ref = np_prefix_beam(logprobs[0], W, blank)
+        got_best = tuple(np.asarray(seqs)[0, 0, : int(lengths[0, 0])])
+        assert got_best == ref[0][0], (got_best, ref[:2])
+        np.testing.assert_allclose(float(scores[0, 0]), ref[0][1], rtol=1e-3)
+        # full beam contents match (as sets of prefixes with scores)
+        got = {
+            tuple(np.asarray(seqs)[0, n, : int(lengths[0, n])]): float(
+                scores[0, n]
+            )
+            for n in range(W)
+            if float(scores[0, n]) > -1e29
+        }
+        for prefix, score in ref:
+            assert prefix in got, (prefix, got)
+            np.testing.assert_allclose(got[prefix], score, rtol=1e-3)
+
+    def test_batched_matches_single(self):
+        rng = np.random.default_rng(7)
+        T, V, W, B = 5, 5, 3, 3
+        blank = V - 1
+        logprobs = np.asarray(
+            jax.nn.log_softmax(
+                jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32)),
+                -1,
+            )
+        )
+        lengths_in = np.array([5, 3, 1], np.int32)
+        seqs, lengths, scores = ctc_prefix_beam_search(
+            jnp.asarray(logprobs), jnp.asarray(lengths_in), W, blank
+        )
+        for b in range(B):
+            ref = np_prefix_beam(logprobs[b, : lengths_in[b]], W, blank)
+            got_best = tuple(np.asarray(seqs)[b, 0, : int(lengths[b, 0])])
+            assert got_best == ref[0][0]
+            np.testing.assert_allclose(
+                float(scores[b, 0]), ref[0][1], rtol=1e-3
+            )
+
+    def test_beats_or_ties_greedy(self):
+        """Prefix-beam best path probability >= greedy collapse path."""
+        from nabu_tpu.ops.ctc import ctc_greedy_collapse
+
+        rng = np.random.default_rng(11)
+        T, V, W = 10, 6, 8
+        blank = V - 1
+        logprobs = np.asarray(
+            jax.nn.log_softmax(
+                jnp.asarray(rng.standard_normal((1, T, V)).astype(np.float32) * 3),
+                -1,
+            )
+        )
+        seqs, lengths, scores = ctc_prefix_beam_search(
+            jnp.asarray(logprobs), jnp.array([T]), W, blank
+        )
+        frame_ids = jnp.argmax(jnp.asarray(logprobs), -1)
+        g_ids, g_len = ctc_greedy_collapse(frame_ids, jnp.array([T]), blank)
+        # score the greedy label sequence by full marginalization
+        from nabu_tpu.ops.ctc import ctc_loss
+
+        greedy_nll = ctc_loss(
+            jnp.asarray(logprobs),  # already log-softmax; softmax is idempotent-ish
+            jnp.array([T]),
+            g_ids[:, : max(int(g_len[0]), 1)],
+            g_len,
+            blank_id=blank,
+        )
+        # compare total sequence probabilities
+        beam_nll = ctc_loss(
+            jnp.asarray(logprobs),
+            jnp.array([T]),
+            seqs[:, 0, : max(int(lengths[0, 0]), 1)],
+            lengths[:, 0],
+            blank_id=blank,
+        )
+        assert float(beam_nll[0]) <= float(greedy_nll[0]) + 1e-3
+
+
+# ---------------------------------------------------------------------------
+# attention beam search on a deterministic toy decoder
+# ---------------------------------------------------------------------------
+
+class ToyDecoder:
+    """Table-driven autoregressive decoder: logits depend only on the
+    previous token, enabling exact brute-force scoring."""
+
+    def __init__(self, table):
+        # table [V, V]: row prev -> next-token logits; sos uses row of eos id
+        self.table = jnp.asarray(table, jnp.float32)
+        self.output_dim = table.shape[1]
+        self.sos_id = table.shape[0] - 1
+        self.eos_id = table.shape[0] - 1
+
+    def init_state(self, batch, dtype=jnp.float32):
+        return {"dummy": jnp.zeros((batch, 1), dtype)}
+
+    def step(self, params, prev_ids, state, encoded, enc_mask, keys=None):
+        logits = self.table[prev_ids]
+        return logits, dict(state)
+
+
+def brute_force_best(table, max_len, length_norm_power=0.0):
+    """Enumerate all sequences up to max_len; return best (seq, score)."""
+    V = table.shape[1]
+    eos = V - 1
+    logsm = np.asarray(jax.nn.log_softmax(jnp.asarray(table), -1))
+    best = None
+    for L in range(0, max_len):
+        for seq in itertools.product(range(V - 1), repeat=L):
+            prev = eos  # sos
+            score = 0.0
+            for s in seq:
+                score += logsm[prev, s]
+                prev = s
+            score += logsm[prev, eos]  # terminate
+            norm = max(L, 1) ** length_norm_power
+            key = score / norm
+            if best is None or key > best[0]:
+                best = (key, seq, score)
+    return best
+
+
+class TestAttentionBeam:
+    def _run(self, table, W, max_steps, **kw):
+        dec = ToyDecoder(table)
+        encoded = jnp.zeros((1, 3, 2))
+        enc_len = jnp.array([3])
+        return dec, attention_beam_search(
+            dec, {}, encoded, enc_len, beam_width=W, max_steps=max_steps, **kw
+        )
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_wide_beam_finds_optimum(self, seed):
+        rng = np.random.default_rng(seed)
+        V = 4
+        table = rng.standard_normal((V, V)).astype(np.float32) * 2
+        dec, (seqs, lengths, scores) = self._run(table, W=40, max_steps=4)
+        _, ref_seq, ref_score = brute_force_best(table, max_len=4)
+        got = tuple(np.asarray(seqs)[0, 0, : int(lengths[0, 0])])
+        assert got == ref_seq, (got, ref_seq)
+        np.testing.assert_allclose(float(scores[0, 0]), ref_score, rtol=1e-4)
+
+    def test_beam1_equals_greedy(self):
+        rng = np.random.default_rng(5)
+        V = 5
+        table = rng.standard_normal((V, V)).astype(np.float32)
+        dec, (seqs, lengths, scores) = self._run(table, W=1, max_steps=6)
+        # manual greedy rollout
+        logsm = np.asarray(jax.nn.log_softmax(jnp.asarray(table), -1))
+        prev, out = V - 1, []
+        for _ in range(6):
+            nxt = int(np.argmax(logsm[prev]))
+            if nxt == V - 1:
+                break
+            out.append(nxt)
+            prev = nxt
+        got = list(np.asarray(seqs)[0, 0, : int(lengths[0, 0])])
+        assert got == out
+
+    def test_finished_beams_frozen(self):
+        """A beam that hits eos keeps its score while others continue."""
+        # token 0 then eos is overwhelmingly likely -> everything finishes
+        V = 3
+        table = np.full((V, V), -10.0, np.float32)
+        table[V - 1, 0] = 10.0  # sos -> 0
+        table[0, V - 1] = 10.0  # 0 -> eos
+        dec, (seqs, lengths, scores) = self._run(table, W=3, max_steps=5)
+        assert tuple(np.asarray(seqs)[0, 0, : int(lengths[0, 0])]) == (0,)
+        # score ~ 2 * log(almost 1) ~ 0
+        assert float(scores[0, 0]) > -0.1
+
+    def test_length_norm_prefers_longer(self):
+        """With strong length normalization, longer sequences win rank."""
+        rng = np.random.default_rng(9)
+        V = 4
+        table = rng.standard_normal((V, V)).astype(np.float32)
+        dec, (s0, l0, sc0) = self._run(table, W=16, max_steps=4)
+        dec, (s1, l1, sc1) = self._run(
+            table, W=16, max_steps=4, length_norm_power=1.0
+        )
+        ref = brute_force_best(table, max_len=4, length_norm_power=1.0)
+        got = tuple(np.asarray(s1)[0, 0, : int(l1[0, 0])])
+        assert got == ref[1], (got, ref[1])
+
+
+class TestBeamRecognizers:
+    """Recognizer-level smoke tests over a real (untrained) model."""
+
+    def _model(self):
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+
+        cfg = ConfigFile({
+            "model": Conf({"decoders": "att ctc"}, "model"),
+            "encoder": Conf(
+                {"encoder": "dblstm", "num_layers": "1", "num_units": "8"},
+                "encoder",
+            ),
+            "att": Conf({"decoder": "speller", "num_units": "8"}, "att"),
+            "ctc": Conf({"decoder": "linear_ctc"}, "ctc"),
+        })
+        model = build_model(cfg, input_dim=6, num_labels=4)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def test_attention_beam_recognizer(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.decoding.recognizers import build_recognizer
+
+        model, params = self._model()
+        rec = build_recognizer(
+            Conf({
+                "recognizer": "attention_beam", "head": "att",
+                "beam_width": "4", "nbest": "2", "max_steps": "6",
+            }),
+            model,
+        )
+        feats = np.random.default_rng(0).standard_normal((2, 12, 6)).astype(
+            np.float32
+        )
+        out = rec(params, feats, np.array([12, 7]))
+        assert out.ids.shape == (2, 2, 6)
+        assert (out.scores[:, 0] >= out.scores[:, 1] - 1e-5).all()
+
+    def test_ctc_beam_recognizer(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.decoding.recognizers import build_recognizer
+
+        model, params = self._model()
+        rec = build_recognizer(
+            Conf({
+                "recognizer": "ctc_beam", "head": "ctc",
+                "beam_width": "4", "nbest": "2",
+            }),
+            model,
+        )
+        feats = np.random.default_rng(1).standard_normal((2, 12, 6)).astype(
+            np.float32
+        )
+        out = rec(params, feats, np.array([12, 7]))
+        assert out.ids.shape[:2] == (2, 2)
+        # all symbols within label alphabet (no blanks inside lengths)
+        for b in range(2):
+            ids = out.ids[b, 0, : out.lengths[b, 0]]
+            assert ((ids >= 0) & (ids < 4)).all()
