@@ -1,0 +1,166 @@
+"""Benchmark: training throughput of the DBLSTM-CTC workhorse
+(BASELINE.json config 2: 4x320-unit BLSTM, character CTC) on one chip.
+
+Prints ONE JSON line:
+  {"metric": "train_audio_seconds_per_second_per_chip", "value": N,
+   "unit": "audio_s/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+the in-run speedup over a naive "translated" LSTM implementation (input
+projection re-computed inside every scan step — what a line-for-line
+port of per-timestep cell math would do) measured on the same hardware,
+batch and model. value is the optimized path's throughput.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def build_model_and_loss():
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.ops.losses import make_loss_computer
+
+    cfg = ConfigFile({
+        "encoder": Conf({
+            "encoder": "dblstm", "num_layers": "4", "num_units": "320",
+        }, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"}, "decoder"),
+    })
+    model = build_model(cfg, input_dim=80, num_labels=31)
+    return model, make_loss_computer(model)
+
+
+def make_batch(B, T, F, L, rng):
+    import numpy as np
+
+    return {
+        "features": rng.standard_normal((B, T, F)).astype(np.float32),
+        "feature_lengths": np.full((B,), T, np.int32),
+        "targets": rng.integers(0, 31, (B, L)).astype(np.int32),
+        "target_lengths": np.full((B,), L, np.int32),
+        "example_mask": np.ones((B,), np.float32),
+    }
+
+
+def time_train_step(loss_fn, params, batch, steps, warmup=2):
+    import jax
+    import optax
+
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, True
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        params, opt_state, loss = step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    return time.perf_counter() - t0, float(loss)
+
+
+def naive_lstm_scan(p, x, lengths, reverse=False, forget_bias=1.0, unroll=1):
+    """Per-step input projection inside the scan (the naive translation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nabu_tpu.models import core
+
+    B, T, _ = x.shape
+    H = p["wh"].shape[0]
+    mask = (
+        jnp.arange(T, dtype=lengths.dtype)[None, :] < lengths[:, None]
+    )
+    if reverse:
+        x = jnp.flip(x, axis=1)
+        mask = jnp.flip(mask, axis=1)
+    x_t = jnp.swapaxes(x, 0, 1)
+    mask_t = jnp.swapaxes(mask, 0, 1)[..., None]
+
+    def step(carry, inp):
+        h, c = carry
+        xt, m = inp
+        xw_t = xt @ p["wx"] + p["b"]  # <-- recomputed every step
+        h_new, c_new = core.lstm_cell(xw_t, h, c, p["wh"], forget_bias)
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), h * m
+
+    init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    _, ys = jax.lax.scan(step, init, (x_t, mask_t), unroll=unroll)
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default=None,
+                        help="jax platform override (e.g. cpu)")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--frames", type=int, default=1000)
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--skip_baseline", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from nabu_tpu.models import core
+
+    B, T, F, L = args.batch, args.frames, 80, 100
+    frame_shift = 0.01
+    rng = np.random.default_rng(0)
+    batch = make_batch(B, T, F, L, rng)
+
+    model, loss_fn = build_model_and_loss()
+    params = model.init(jax.random.PRNGKey(0))
+
+    elapsed, loss = time_train_step(loss_fn, params, batch, args.steps)
+    audio_s = B * T * frame_shift * args.steps
+    value = audio_s / elapsed
+
+    vs_baseline = 1.0
+    if not args.skip_baseline:
+        orig = core.lstm_scan
+        core.lstm_scan = naive_lstm_scan
+        try:
+            naive_steps = max(args.steps // 2, 2)
+            elapsed_n, _ = time_train_step(
+                loss_fn, params, batch, naive_steps, warmup=1
+            )
+            naive_value = (B * T * frame_shift * naive_steps) / elapsed_n
+            vs_baseline = value / naive_value
+        finally:
+            core.lstm_scan = orig
+
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_second_per_chip",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
