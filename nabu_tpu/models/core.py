@@ -150,11 +150,25 @@ def blstm_init(key, in_dim: int, hidden: int) -> Params:
 
 
 def blstm_apply(
-    p: Params, x: jnp.ndarray, lengths: jnp.ndarray, unroll: int = 8
+    p: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    unroll: int = 8,
+    impl: str = "scan",
 ) -> jnp.ndarray:
-    """Bidirectional LSTM -> [B, T, 2H] (fw ++ bw)."""
-    fw = lstm_scan(p["fw"], x, lengths, reverse=False, unroll=unroll)
-    bw = lstm_scan(p["bw"], x, lengths, reverse=True, unroll=unroll)
+    """Bidirectional LSTM -> [B, T, 2H] (fw ++ bw).
+
+    impl="pallas" runs the fused Pallas sequence kernel
+    (nabu_tpu.ops.pallas.lstm) instead of the lax.scan cell.
+    """
+    if impl == "pallas":
+        from nabu_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+        fw = lstm_scan_pallas(p["fw"], x, lengths, reverse=False)
+        bw = lstm_scan_pallas(p["bw"], x, lengths, reverse=True)
+    else:
+        fw = lstm_scan(p["fw"], x, lengths, reverse=False, unroll=unroll)
+        bw = lstm_scan(p["bw"], x, lengths, reverse=True, unroll=unroll)
     return jnp.concatenate([fw, bw], axis=-1)
 
 

@@ -50,6 +50,7 @@ class DBLSTM(Encoder):
         self.num_layers = conf.getint("num_layers", 2)
         self.num_units = conf.getint("num_units", 128)
         self.dropout = conf.getfloat("dropout", 0.0)
+        self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
         self.output_dim = 2 * self.num_units
 
     def init(self, key) -> dict:
@@ -63,7 +64,7 @@ class DBLSTM(Encoder):
     def apply(self, params, features, lengths, train=False, rng=None):
         x = features
         for i in range(self.num_layers):
-            x = core.blstm_apply(params[f"layer_{i}"], x, lengths)
+            x = core.blstm_apply(params[f"layer_{i}"], x, lengths, impl=self.impl)
             if train and self.dropout > 0 and rng is not None:
                 rng, sub = jax.random.split(rng)
                 x = core.dropout(sub, x, self.dropout, train)
@@ -81,6 +82,7 @@ class Listener(Encoder):
         self.num_layers = conf.getint("num_layers", 3)
         self.num_units = conf.getint("num_units", 256)
         self.dropout = conf.getfloat("dropout", 0.0)
+        self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
         self.output_dim = 2 * self.num_units
 
     def init(self, key) -> dict:
@@ -101,11 +103,15 @@ class Listener(Encoder):
                 return core.dropout(sub, x, self.dropout, train), rng
             return x, rng
 
-        x = core.blstm_apply(params["bottom"], x=features, lengths=lengths)
+        x = core.blstm_apply(
+            params["bottom"], x=features, lengths=lengths, impl=self.impl
+        )
         x, rng = _dropout(x, rng)
         for i in range(self.num_layers):
             x, lengths = core.pyramid_stack(x, lengths)
-            x = core.blstm_apply(params[f"pyramid_{i}"], x, lengths)
+            x = core.blstm_apply(
+                params[f"pyramid_{i}"], x, lengths, impl=self.impl
+            )
             x, rng = _dropout(x, rng)
         return x, lengths
 

@@ -29,12 +29,24 @@ def ctc_loss_fn(
     example_mask: jnp.ndarray,  # [B] float
     label_smoothing: float = 0.0,
     blank_id: int | None = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Mean per-example CTC negative log likelihood."""
+    """Mean per-example CTC negative log likelihood. ``use_pallas``
+    switches to the fused forward-backward kernel
+    (nabu_tpu.ops.pallas.ctc)."""
     del label_smoothing  # not applicable to CTC
-    nll = ctc_ops.ctc_loss(
-        logits, logit_lengths, targets, target_lengths, blank_id
-    )  # [B]
+    if use_pallas:
+        from nabu_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+        nll = ctc_loss_pallas(
+            logits, logit_lengths, targets, target_lengths,
+            blank_id if blank_id is not None else logits.shape[-1] - 1,
+            None,
+        )
+    else:
+        nll = ctc_ops.ctc_loss(
+            logits, logit_lengths, targets, target_lengths, blank_id
+        )  # [B]
     denom = jnp.maximum(example_mask.sum(), 1.0)
     loss = jnp.sum(nll * example_mask) / denom
     frames = jnp.maximum(
@@ -53,7 +65,9 @@ def cross_entropy_loss_fn(
     example_mask: jnp.ndarray,
     label_smoothing: float = 0.0,
     blank_id=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    del use_pallas  # CE has no kernel variant
     """Label-smoothed sequence CE with <eos> appended at target_lengths.
 
     Token mean over real (non-pad, non-fill) positions, eos included.
@@ -99,11 +113,13 @@ def make_loss_computer(model) -> Callable:
         loss_name, weight = model.head_loss(name)
         blank_id = getattr(model.decoders[name], "blank_id", None)
         smoothing = model.head_confs[name].getfloat("label_smoothing", 0.0)
+        use_pallas = model.head_confs[name].getbool("use_pallas", False)
         head_specs[name] = (
             LOSSES.get(loss_name),
             weight,
             smoothing,
             blank_id,
+            use_pallas,
         )
 
     def loss_fn(params, batch, rng, train: bool):
@@ -118,7 +134,9 @@ def make_loss_computer(model) -> Callable:
         )
         total = 0.0
         metrics: Dict[str, jnp.ndarray] = {}
-        for name, (fn, weight, smoothing, blank_id) in head_specs.items():
+        for name, (
+            fn, weight, smoothing, blank_id, use_pallas
+        ) in head_specs.items():
             logits, logit_lengths = outputs[name]
             loss, m = fn(
                 logits,
@@ -128,6 +146,7 @@ def make_loss_computer(model) -> Callable:
                 batch["example_mask"],
                 label_smoothing=smoothing,
                 blank_id=blank_id,
+                use_pallas=use_pallas,
             )
             total = total + weight * loss
             metrics[f"loss/{name}"] = loss

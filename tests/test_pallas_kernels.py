@@ -1,0 +1,206 @@
+"""Golden tests for the Pallas kernels against their pure-JAX oracles
+(interpret mode on CPU; the same code compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestSTFTMel:
+    def test_matches_jnp_frontend(self):
+        from nabu_tpu.features import jax_frontend as jf
+        from nabu_tpu.ops.pallas.stft_mel import stft_mel_pallas
+
+        fp = jf.make_frontend_params(16000.0, nfilt=40)
+        rng = np.random.default_rng(0)
+        sig = rng.standard_normal(16000).astype(np.float32)
+        frames = jf.frame_signal(
+            jnp.asarray(sig), fp.frame_len, fp.frame_step, 99
+        )
+        win = frames * fp.window[None, :]
+        re = win @ fp.dft_cos
+        im = win @ fp.dft_sin
+        ref = jnp.log(
+            jnp.maximum(((re * re + im * im) / fp.nfft) @ fp.mel, 1e-30)
+        )
+        got = stft_mel_pallas(
+            frames, fp.window, fp.dft_cos, fp.dft_sin, fp.mel, fp.nfft,
+            interpret=True, block_n=32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_nonmultiple_block(self):
+        """Frame counts not divisible by the block are padded+sliced."""
+        from nabu_tpu.features import jax_frontend as jf
+        from nabu_tpu.ops.pallas.stft_mel import stft_mel_pallas
+
+        fp = jf.make_frontend_params(16000.0, nfilt=23)
+        rng = np.random.default_rng(1)
+        frames = jnp.asarray(
+            rng.standard_normal((37, fp.frame_len)).astype(np.float32)
+        )
+        got = stft_mel_pallas(
+            frames, fp.window, fp.dft_cos, fp.dft_sin, fp.mel, fp.nfft,
+            interpret=True, block_n=16,
+        )
+        assert got.shape == (37, 23)
+        assert np.isfinite(np.asarray(got)).all()
+
+
+class TestCTCPallas:
+    def _case(self, seed, B=3, T=12, V=6, L=4):
+        rng = np.random.default_rng(seed)
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        labels = rng.integers(0, V - 1, size=(B, L)).astype(np.int32)
+        logit_len = rng.integers(L + 2, T + 1, size=(B,)).astype(np.int32)
+        label_len = rng.integers(1, L + 1, size=(B,)).astype(np.int32)
+        return logits, logit_len, labels, label_len
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_loss_matches_oracle(self, seed):
+        from nabu_tpu.ops.ctc import ctc_loss
+        from nabu_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+        logits, logit_len, labels, label_len = self._case(seed)
+        ref = ctc_loss(
+            jnp.asarray(logits), jnp.asarray(logit_len),
+            jnp.asarray(labels), jnp.asarray(label_len),
+        )
+        got = ctc_loss_pallas(
+            jnp.asarray(logits), jnp.asarray(logit_len),
+            jnp.asarray(labels), jnp.asarray(label_len),
+            logits.shape[-1] - 1, True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_grad_matches_oracle(self, seed):
+        from nabu_tpu.ops.ctc import ctc_loss
+        from nabu_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+        logits, logit_len, labels, label_len = self._case(seed)
+        g_ref = jax.grad(
+            lambda lg: ctc_loss(
+                lg, jnp.asarray(logit_len), jnp.asarray(labels),
+                jnp.asarray(label_len),
+            ).sum()
+        )(jnp.asarray(logits))
+        g_got = jax.grad(
+            lambda lg: ctc_loss_pallas(
+                lg, jnp.asarray(logit_len), jnp.asarray(labels),
+                jnp.asarray(label_len), logits.shape[-1] - 1, True,
+            ).sum()
+        )(jnp.asarray(logits))
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=1e-3, atol=1e-4
+        )
+
+    def test_empty_label(self):
+        from nabu_tpu.ops.ctc import ctc_loss
+        from nabu_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+        rng = np.random.default_rng(5)
+        logits = rng.standard_normal((1, 6, 4)).astype(np.float32)
+        ref = ctc_loss(
+            jnp.asarray(logits), jnp.array([6]),
+            jnp.zeros((1, 2), jnp.int32), jnp.array([0]),
+        )
+        got = ctc_loss_pallas(
+            jnp.asarray(logits), jnp.array([6]),
+            jnp.zeros((1, 2), jnp.int32), jnp.array([0]), 3, True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4
+        )
+
+    def test_impossible_alignment_zero_grad(self):
+        from nabu_tpu.ops.pallas.ctc import ctc_loss_pallas
+
+        logits = jnp.zeros((1, 2, 5))
+        loss = ctc_loss_pallas(
+            logits, jnp.array([2]),
+            jnp.array([[0, 1, 2]]), jnp.array([3]), 4, True,
+        )
+        assert float(loss[0]) > 1e4
+        g = jax.grad(
+            lambda lg: ctc_loss_pallas(
+                lg, jnp.array([2]), jnp.array([[0, 1, 2]]),
+                jnp.array([3]), 4, True,
+            ).sum()
+        )(logits)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+class TestLSTMPallas:
+    def _setup(self, seed=0, B=3, T=11, D=5, H=7):
+        from nabu_tpu.models import core
+
+        key = jax.random.PRNGKey(seed)
+        p = core.lstm_init(key, D, H)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+        lengths = jnp.asarray(
+            rng.integers(1, T + 1, size=(B,)).astype(np.int32)
+        )
+        return p, x, lengths
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_forward_matches_scan(self, reverse):
+        from nabu_tpu.models import core
+        from nabu_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+        p, x, lengths = self._setup()
+        ref = core.lstm_scan(p, x, lengths, reverse=reverse)
+        got = lstm_scan_pallas(
+            p, x, lengths, reverse=reverse, interpret=True, block_t=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_grad_matches_scan(self):
+        from nabu_tpu.models import core
+        from nabu_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+        p, x, lengths = self._setup(seed=3)
+
+        def loss_ref(p, x):
+            return (core.lstm_scan(p, x, lengths) ** 2).sum()
+
+        def loss_pal(p, x):
+            return (
+                lstm_scan_pallas(p, x, lengths, interpret=True, block_t=4)
+                ** 2
+            ).sum()
+
+        (gp_ref, gx_ref) = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+        (gp_got, gx_got) = jax.grad(loss_pal, argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(
+            np.asarray(gx_got), np.asarray(gx_ref), rtol=1e-3, atol=1e-4
+        )
+        for k in ("wx", "wh", "b"):
+            np.testing.assert_allclose(
+                np.asarray(gp_got[k]), np.asarray(gp_ref[k]),
+                rtol=1e-3, atol=1e-4, err_msg=k,
+            )
+
+    def test_block_boundary_correctness(self):
+        """block_t smaller than T exercises the boundary-carry path."""
+        from nabu_tpu.models import core
+        from nabu_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+        p, x, lengths = self._setup(seed=5, T=13)
+        ref = core.lstm_scan(p, x, lengths)
+        for bt in (1, 3, 13):
+            got = lstm_scan_pallas(
+                p, x, lengths, interpret=True, block_t=bt
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+                err_msg=f"block_t={bt}",
+            )
