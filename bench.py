@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def build_model_and_loss():
+def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False):
     from nabu_tpu.config import Conf, ConfigFile
     from nabu_tpu.models.model import build_model
     from nabu_tpu.ops.losses import make_loss_computer
@@ -28,8 +28,12 @@ def build_model_and_loss():
     cfg = ConfigFile({
         "encoder": Conf({
             "encoder": "dblstm", "num_layers": "4", "num_units": "320",
+            "use_pallas": str(use_pallas_lstm).lower(),
         }, "encoder"),
-        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"}, "decoder"),
+        "decoder": Conf({
+            "decoder": "linear_ctc", "loss": "ctc",
+            "use_pallas": str(use_pallas_ctc).lower(),
+        }, "decoder"),
     })
     model = build_model(cfg, input_dim=80, num_labels=31)
     return model, make_loss_computer(model)
@@ -63,15 +67,27 @@ def time_train_step(loss_fn, params, batch, steps, warmup=2):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # NOTE: block_until_ready does not actually block on the tunneled
+    # axon backend, so completion is forced by fetching the final loss
+    # scalar to the host: each step consumes the previous step's params,
+    # so the fetch waits for the whole chain.
+    def sync(params, loss):
+        # fetching a scalar that depends on the final params forces the
+        # whole step chain, including the last backward + update
+        leaf = jax.tree.leaves(params)[0]
+        return float(jnp.sum(leaf)), float(loss)
+
+    import jax.numpy as jnp
+
     key = jax.random.PRNGKey(0)
     for _ in range(warmup):
         params, opt_state, loss = step(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
+    sync(params, loss)
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
-    return time.perf_counter() - t0, float(loss)
+    _, final_loss = sync(params, loss)
+    return time.perf_counter() - t0, final_loss
 
 
 def naive_lstm_scan(p, x, lengths, reverse=False, forget_bias=1.0, unroll=1):
@@ -117,6 +133,10 @@ def main():
     parser.add_argument("--frames", type=int, default=1000)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--skip_baseline", action="store_true")
+    parser.add_argument("--pallas_lstm", action="store_true",
+                        help="use the fused Pallas LSTM kernel")
+    parser.add_argument("--pallas_ctc", action="store_true",
+                        help="use the fused Pallas CTC kernel")
     args = parser.parse_args()
 
     import jax
@@ -133,7 +153,9 @@ def main():
     rng = np.random.default_rng(0)
     batch = make_batch(B, T, F, L, rng)
 
-    model, loss_fn = build_model_and_loss()
+    model, loss_fn = build_model_and_loss(
+        args.pallas_lstm, args.pallas_ctc
+    )
     params = model.init(jax.random.PRNGKey(0))
 
     elapsed, loss = time_train_step(loss_fn, params, batch, args.steps)

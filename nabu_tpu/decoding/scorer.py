@@ -39,14 +39,30 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
 def error_rate(
     refs: List[Sequence], hyps: List[Sequence]
 ) -> Tuple[float, int, int]:
-    """Token error rate over a corpus: (rate, total_errors, total_tokens)."""
+    """Token error rate over a corpus: (rate, total_errors, total_tokens).
+
+    Uses the native C++ batch scorer (nabu_tpu.native) when token
+    sequences are integer ids and the library is available; falls back
+    to the numpy DP otherwise.
+    """
     if len(refs) != len(hyps):
         raise ValueError("refs and hyps length mismatch")
+    tokens = sum(len(r) for r in refs)
+    if refs and all(
+        all(isinstance(t, (int, np.integer)) for t in s)
+        for s in (refs[0], hyps[0])
+    ):
+        try:
+            from nabu_tpu import native
+
+            if native.available():
+                _, errors = native.edit_distance_batch(refs, hyps)
+                return errors / max(tokens, 1), errors, tokens
+        except Exception:
+            pass
     errors = 0
-    tokens = 0
     for r, h in zip(refs, hyps):
         errors += edit_distance(r, h)
-        tokens += len(r)
     return errors / max(tokens, 1), errors, tokens
 
 

@@ -52,9 +52,10 @@ class Model:
         }
 
     def encode(self, params, features, lengths, train=False, rng=None):
-        return self.encoder.apply(
-            params["encoder"], features, lengths, train=train, rng=rng
-        )
+        with jax.named_scope("encoder"):
+            return self.encoder.apply(
+                params["encoder"], features, lengths, train=train, rng=rng
+            )
 
     def apply(
         self,
@@ -82,15 +83,16 @@ class Model:
             if heads is not None and name not in heads:
                 continue
             rng_dec, sub = jax.random.split(rng_dec)
-            outputs[name] = dec.apply(
-                params["decoders"][name],
-                encoded,
-                enc_lengths,
-                targets=targets,
-                target_lengths=target_lengths,
-                train=train,
-                rng=sub,
-            )
+            with jax.named_scope(f"decoder_{name}"):
+                outputs[name] = dec.apply(
+                    params["decoders"][name],
+                    encoded,
+                    enc_lengths,
+                    targets=targets,
+                    target_lengths=target_lengths,
+                    train=train,
+                    rng=sub,
+                )
         return outputs
 
 

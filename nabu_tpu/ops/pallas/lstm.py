@@ -11,11 +11,15 @@ cell update and length mask are fused in registers.
 The time axis is the sequential grid dimension in blocks of
 ``block_t`` rows: Pallas pipelines the next block's [block_t, B, 4H]
 input projections into VMEM while the current block computes, and the
-carried (h, c) live in scratch that persists across grid steps. The
-backward kernel walks the grid in reverse, recomputes nothing (gates
-and carries are forward outputs), accumulates d(wh) into a
-VMEM-resident output block, and receives each block's entry carry via
-a precomputed boundary tensor.
+carried (h, c) live in scratch that persists across grid steps.
+
+Memory discipline: the forward stores ONLY the post-step (h, c)
+carries — gate activations are recomputed in the backward from the
+stored carries (one extra MXU matmul per step in exchange for 3x less
+HBM traffic and VMEM footprint, the right trade on a
+bandwidth-limited chip). The backward walks the grid in reverse,
+receives each block's entry carry via a precomputed boundary tensor,
+and accumulates d(wh) into a VMEM-resident output block.
 
 Input projections (x @ wx) stay outside as one large MXU matmul.
 Oracle: nabu_tpu.models.core.lstm_scan.
@@ -32,14 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nabu_tpu.ops.pallas import on_tpu
 
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _fwd_kernel(
     xw_ref,  # [BT, B, 4H] input projections (+bias) for this time block
     mask_ref,  # [BT, B]
     wh_ref,  # [H, 4H]
-    h_out_ref,  # out [BT, B, H] masked hidden outputs
     hc_ref,  # out [BT, B, 2H] post-mask carries after each step
-    gates_ref,  # out [BT, B, 4H] activated gates (i, f, g, o)
     h_scratch,  # VMEM [B, H] carried h (persists across grid steps)
     c_scratch,  # VMEM [B, H]
     *,
@@ -70,20 +74,18 @@ def _fwd_kernel(
         c_next = jnp.where(m > 0.5, c_new, c)
         h_scratch[:] = h_next
         c_scratch[:] = c_next
-        h_out_ref[i] = h_new * m
         hc_ref[i] = jnp.concatenate([h_next, c_next], axis=-1)
-        gates_ref[i] = jnp.concatenate([gi, gf, gg, go], axis=-1)
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
 
 
 def _bwd_kernel(
+    xw_ref,  # [BT, B, 4H]
     mask_ref,  # [BT, B]
     wh_ref,  # [H, 4H]
     hc_ref,  # [BT, B, 2H]
     boundary_ref,  # [1, B, 2H] carries at entry of this block
-    gates_ref,  # [BT, B, 4H]
     g_ref,  # [BT, B, H] dL/dh_out
     dxw_ref,  # out [BT, B, 4H]
     dwh_ref,  # out [H, 4H], same block every grid step (accumulates)
@@ -91,6 +93,7 @@ def _bwd_kernel(
     dc_scratch,  # VMEM [B, H]
     *,
     block_t: int,
+    forget_bias: float,
 ):
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -103,17 +106,20 @@ def _bwd_kernel(
     def body(k, _):
         i = block_t - 1 - k
         m = mask_ref[i][:, None]
-        gates = gates_ref[i]
-        gi = gates[:, :H]
-        gf = gates[:, H : 2 * H]
-        gg = gates[:, 2 * H : 3 * H]
-        go = gates[:, 3 * H :]
-        c_t = hc_ref[i][:, H:]
         prev = jnp.where(
             i > 0, hc_ref[jnp.maximum(i - 1, 0)], boundary_ref[0]
         )
         h_prev = prev[:, :H]
         c_prev = prev[:, H:]
+        # recompute the gate activations from the stored carries
+        gates = xw_ref[i] + jnp.dot(
+            h_prev, wh_ref[:], preferred_element_type=jnp.float32
+        )
+        gi = jax.nn.sigmoid(gates[:, :H])
+        gf = jax.nn.sigmoid(gates[:, H : 2 * H] + forget_bias)
+        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+        go = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_t = hc_ref[i][:, H:]
 
         tanh_c = jnp.tanh(c_t)  # == tanh(c_new) wherever m is on
         dh_total = g_ref[i] * m + dh_scratch[:]
@@ -153,7 +159,7 @@ def _pad_time(x, bt):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def lstm_seq_pallas(
-    xw, mask, wh, forget_bias=1.0, interpret=None, block_t=32
+    xw, mask, wh, forget_bias=1.0, interpret=None, block_t=16
 ):
     """Masked LSTM over a full sequence via the fused kernel.
 
@@ -175,7 +181,7 @@ def _fwd(xw, mask, wh, forget_bias, interpret, block_t):
     Tp = xw_p.shape[0]
     nb = Tp // bt
 
-    h_out, hc, gates = pl.pallas_call(
+    hc = pl.pallas_call(
         functools.partial(_fwd_kernel, block_t=bt, forget_bias=forget_bias),
         grid=(nb,),
         in_specs=[
@@ -186,32 +192,28 @@ def _fwd(xw, mask, wh, forget_bias, interpret, block_t):
             pl.BlockSpec((H, H4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((bt, B, H), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, 2 * H), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H4), lambda j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((bt, B, 2 * H), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, B, 2 * H), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(xw_p, mask_p, wh)
-    return h_out[:T], (mask_p, wh, hc, gates, T, bt)
+    # masked hidden outputs: the post-mask carry h equals h_new where
+    # the mask is on, and the output is defined as 0 where it is off
+    h_out = hc[:T, :, :H] * mask[:, :, None]
+    return h_out, (xw_p, mask_p, wh, hc, T, bt)
 
 
 def _bwd(forget_bias, interpret, block_t, residuals, g):
     if interpret is None:
         interpret = not on_tpu()
-    mask_p, wh, hc, gates, T, bt = residuals
+    xw_p, mask_p, wh, hc, T, bt = residuals
     Tp, B, H2 = hc.shape
     H = H2 // 2
     H4 = 4 * H
@@ -226,9 +228,11 @@ def _bwd(forget_bias, interpret, block_t, residuals, g):
     )  # [nb, B, 2H]
 
     dxw, dwh = pl.pallas_call(
-        functools.partial(_bwd_kernel, block_t=bt),
+        functools.partial(_bwd_kernel, block_t=bt, forget_bias=forget_bias),
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec((bt, B, H4), lambda j: (nb - 1 - j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, B), lambda j: (nb - 1 - j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda j: (0, 0),
@@ -236,8 +240,6 @@ def _bwd(forget_bias, interpret, block_t, residuals, g):
             pl.BlockSpec((bt, B, H2), lambda j: (nb - 1 - j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H2), lambda j: (nb - 1 - j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H4), lambda j: (nb - 1 - j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, B, H), lambda j: (nb - 1 - j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -256,9 +258,12 @@ def _bwd(forget_bias, interpret, block_t, residuals, g):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
-    )(mask_p, wh, hc, boundary, gates, g_p)
-    return dxw[:T], jnp.zeros_like(mask_p[:T]), dwh
+    )(xw_p, mask_p, wh, hc, boundary, g_p)
+    return dxw[:T], jnp.zeros((T, B), mask_p.dtype), dwh
 
 
 lstm_seq_pallas.defvjp(_fwd, _bwd)
@@ -266,7 +271,7 @@ lstm_seq_pallas.defvjp(_fwd, _bwd)
 
 def lstm_scan_pallas(
     p, x, lengths, reverse=False, forget_bias=1.0, interpret=None,
-    block_t=32,
+    block_t=16,
 ):
     """Drop-in replacement for models.core.lstm_scan using the fused
     kernel. x [B, T, D] -> [B, T, H]."""

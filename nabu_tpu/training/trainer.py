@@ -107,6 +107,14 @@ class Trainer:
         self.lr_backoff = conf.getfloat("lr_backoff_factor", 0.5)
         self.early_stopping = conf.getbool("early_stopping", True)
         self.frame_shift = conf.getfloat("frame_shift", 0.01)
+        # aux subsystems (SURVEY.md §5): profiling + NaN guard. The
+        # reference had TensorBoard summaries only; here a config flag
+        # captures a jax.profiler trace of steps [profile_start,
+        # profile_stop) into expdir/profile (viewable in Perfetto /
+        # TensorBoard), and check_numerics aborts on non-finite loss.
+        self.profile_start = conf.getint("profile_start", 0)
+        self.profile_stop = conf.getint("profile_stop", 0)
+        self.check_numerics = conf.getbool("check_numerics", True)
 
         self.tx = build_optimizer(conf)
         self.loss_fn = loss_fn or make_loss_computer(model)
@@ -186,6 +194,8 @@ class Trainer:
                     continue
                 if step >= self.num_steps:
                     break
+                if self.profile_stop and step == self.profile_start:
+                    jax.profiler.start_trace(f"{self.expdir}/profile")
                 arrays = mesh_lib.shard_batch(
                     self.mesh, batch_to_arrays(batch)
                 )
@@ -196,9 +206,22 @@ class Trainer:
                 )
                 frames_since_log += batch.num_audio_frames
                 step += 1
+                if self.profile_stop and step == self.profile_stop:
+                    jax.profiler.stop_trace()
 
                 if step % self.log_frequency == 0 or step == self.num_steps:
                     metrics = jax.device_get(metrics)
+                    if self.check_numerics and not np.isfinite(
+                        metrics["loss"]
+                    ):
+                        self._save_latest(
+                            params, opt_state, step, lr_scale,
+                            best_metric, tries,
+                        )
+                        raise FloatingPointError(
+                            f"non-finite loss {metrics['loss']} at step "
+                            f"{step}; state saved to {self.expdir}"
+                        )
                     now = time.time()
                     audio_s = frames_since_log * self.frame_shift
                     scalars = {k: float(v) for k, v in metrics.items()}
