@@ -107,27 +107,36 @@ class BucketedLoader:
             self.target_index = None
             self.target_lengths = None
 
-        num_buckets = max(1, min(num_buckets, len(self.indices)))
+        # Bucket geometry (edges + target pad lengths) is computed from
+        # the GLOBAL length distribution, NOT the per-host shard: every
+        # host must compile identical padded shapes or multi-host
+        # collectives would mismatch (SURVEY.md §7 hard part 5).
+        num_buckets = max(1, min(num_buckets, len(feat_lengths)))
         self.bucket_edges = compute_buckets(
-            self.lengths, num_buckets, pad_multiple
+            feat_lengths, num_buckets, pad_multiple
         )
-        # assignment of each utterance to the first bucket that fits
-        self.assignment = np.searchsorted(
-            self.bucket_edges, self.lengths, side="left"
+        global_assignment = np.minimum(
+            np.searchsorted(self.bucket_edges, feat_lengths, side="left"),
+            len(self.bucket_edges) - 1,
         )
-        self.assignment = np.minimum(
-            self.assignment, len(self.bucket_edges) - 1
-        )
-        # static target pad length per bucket
+        # this host's assignment of each of its utterances
+        self.assignment = global_assignment[self.indices]
+        # static target pad length per bucket from global target lengths
         if self.target_lengths is not None:
+            all_tlens = targets.lengths()
+            by_utt = targets._by_utt
+            utt_ids = features.utt_ids
+            global_tlens = np.array(
+                [all_tlens[by_utt[u]] for u in utt_ids], dtype=np.int64
+            )
             self.bucket_target_len = np.array(
                 [
                     _round_up(
                         max(
                             int(
-                                self.target_lengths[
-                                    self.assignment == b
-                                ].max(initial=1)
+                                global_tlens[global_assignment == b].max(
+                                    initial=1
+                                )
                             ),
                             1,
                         ),
@@ -144,6 +153,21 @@ class BucketedLoader:
         else:
             self.bucket_target_len = None
 
+        # Per-bucket batch counts are ALSO global: every host emits the
+        # same number of batches from every bucket (short hosts emit
+        # fill-only batches), so the (seed, epoch)-shuffled schedule of
+        # bucket shapes is identical on all hosts and multi-host
+        # collectives stay in lockstep.
+        self.batches_per_bucket = np.array(
+            [
+                -(-int((global_assignment == b).sum()) // (num_hosts * batch_size))
+                if self.fill_incomplete
+                else int((global_assignment == b).sum()) // (num_hosts * batch_size)
+                for b in range(len(self.bucket_edges))
+            ],
+            dtype=np.int64,
+        )
+
         self.feat_dim = features.metadata.get("dim") or int(
             features[int(self.indices[0])].shape[1]
         )
@@ -153,14 +177,7 @@ class BucketedLoader:
         return len(self.bucket_edges)
 
     def num_batches(self) -> int:
-        total = 0
-        for b in range(len(self.bucket_edges)):
-            n = int((self.assignment == b).sum())
-            if self.fill_incomplete:
-                total += -(-n // self.batch_size)
-            else:
-                total += n // self.batch_size
-        return total
+        return int(self.batches_per_bucket.sum())
 
     def _make_batch(self, local_ids: Sequence[int], bucket: int) -> Batch:
         bsz = self.batch_size
@@ -203,16 +220,23 @@ class BucketedLoader:
 
     def epoch(self, epoch: int, shuffle: bool = True) -> Iterator[Batch]:
         """Deterministic iterator for one epoch, keyed by (seed, epoch)."""
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch])
+        # separate streams: the within-bucket shuffle draws a
+        # host-dependent amount of randomness, so the batch-order
+        # shuffle gets its own host-invariant stream (all hosts must
+        # emit the same bucket-shape sequence)
+        rng_local = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, 1])
         )
-        batches = []  # (bucket, local indices)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, 2])
+        )
+        batches = []  # (bucket, local indices) — same length on all hosts
         for b in range(len(self.bucket_edges)):
             local = np.nonzero(self.assignment == b)[0]
             if shuffle:
-                rng.shuffle(local)
-            for s in range(0, len(local), self.batch_size):
-                chunk = local[s : s + self.batch_size]
+                rng_local.shuffle(local)
+            for k in range(int(self.batches_per_bucket[b])):
+                chunk = local[k * self.batch_size : (k + 1) * self.batch_size]
                 if len(chunk) < self.batch_size and not self.fill_incomplete:
                     continue
                 batches.append((b, chunk))

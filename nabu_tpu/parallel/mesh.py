@@ -47,12 +47,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict onto the mesh, batch dim over 'data'."""
+    """Place a host batch dict onto the mesh, batch dim over 'data'.
+
+    Multi-host: every process passes its LOCAL batch (the loader's
+    per-host shard) and the result is the GLOBAL array — process-local
+    data concatenates along the data axis, so global batch =
+    num_hosts * per-host batch.
+    """
+    multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         spec = P(DATA_AXIS) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
 
@@ -87,20 +97,58 @@ def param_partition_specs(
 
 
 def shard_params(mesh: Mesh, params, specs=None):
-    """Place params on the mesh according to partition specs."""
+    """Place params on the mesh according to partition specs.
+
+    Multi-host: every process holds identical full params (same PRNG
+    seed / restored checkpoint), so process-local placement yields the
+    consistent global array.
+    """
     if specs is None:
         specs = param_partition_specs(
             params, model_parallel_size=mesh.shape[MODEL_AXIS]
         )
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params,
-        specs,
-    )
+    multihost = jax.process_count() > 1
+
+    def put(x, s):
+        sharding = NamedSharding(mesh, s)
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, params, specs)
+
+
+def fetch_to_host(tree):
+    """Fetch a (possibly multi-host global) pytree to host numpy.
+
+    Multi-host this is a COLLECTIVE: every process must call it at the
+    same point (device_get of a global array allgathers under the hood,
+    so a chief-only fetch would deadlock/crash the group). Callers that
+    gate on is_chief must gate only the *use* of the result, not the
+    fetch.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # tiled=True reassembles along existing dims (required for
+        # global arrays); replicated arrays come back unchanged
+        return jax.device_get(
+            multihost_utils.process_allgather(tree, tiled=True)
+        )
+    return jax.device_get(tree)
 
 
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
     )

@@ -31,11 +31,16 @@ def main(
     num_model_parallel: int = 1,
 ) -> dict:
     if distributed:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        if coordinator is None:
+            # Cloud TPU pods auto-detect coordinator/process ids from
+            # the TPU metadata: every worker just runs the same command
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     host_id = jax.process_index()
     num_hosts = jax.process_count()
 

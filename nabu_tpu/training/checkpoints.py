@@ -41,20 +41,38 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state: Dict[str, Any]) -> None:
-        """Atomically save a dict of pytrees, one sub-checkpoint per key."""
+        """Atomically save a dict of pytrees, one sub-checkpoint per key.
+
+        Multi-host: orbax's save is collective, so EVERY process must
+        call this with the same (host-local numpy) state; orbax lets the
+        primary do the writing and barriers internally. The final
+        atomic rename is primary-only, with a group barrier around it
+        (shared-filesystem expdir assumed, as with the reference's
+        shared expdir contract).
+        """
+        multihost = jax.process_count() > 1
+        primary = jax.process_index() == 0
         path = self._path(name)
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
+        if primary and os.path.exists(tmp):
             shutil.rmtree(tmp)
-        os.makedirs(tmp)
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_pre_{name}")
         for key, value in state.items():
             # wrap scalars so every sub-checkpoint is a pytree of arrays
             tree = {"value": np.asarray(value)} if _is_scalar(value) else value
             self._ckptr.save(os.path.join(tmp, key), tree)
         self._ckptr.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        if primary:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_post_{name}")
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))

@@ -118,8 +118,15 @@ class Trainer:
 
         self.tx = build_optimizer(conf)
         self.loss_fn = loss_fn or make_loss_computer(model)
+        # multi-host: only the chief writes metrics/checkpoints (the
+        # reference's is_chief=task_index==0 MonitoredTrainingSession
+        # contract); every host still computes validation so early-stop
+        # decisions stay identical across processes
+        self.is_chief = jax.process_index() == 0
         self.ckpt = CheckpointManager(f"{expdir}/checkpoints")
-        self.writer = MetricWriter(f"{expdir}/logs")
+        self.writer = (
+            MetricWriter(f"{expdir}/logs") if self.is_chief else None
+        )
 
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
 
@@ -229,7 +236,8 @@ class Trainer:
                     scalars["audio_s_per_s"] = audio_s / max(
                         now - t_last, 1e-9
                     )
-                    self.writer.write(step, scalars, prefix="train/")
+                    if self.writer:
+                        self.writer.write(step, scalars, prefix="train/")
                     t_last = now
                     frames_since_log = 0
 
@@ -243,15 +251,20 @@ class Trainer:
                     and self.valid_fn is not None
                     and step % self.valid_frequency == 0
                 ):
-                    metric = float(self.valid_fn(params))
-                    self.writer.write(step, {"metric": metric}, prefix="valid/")
+                    valid_params = mesh_lib.fetch_to_host(params)
+                    metric = float(self.valid_fn(valid_params))
+                    if self.writer:
+                        self.writer.write(
+                            step, {"metric": metric}, prefix="valid/"
+                        )
                     if metric < best_metric:
                         best_metric = metric
                         tries = 0
+                        host_opt = mesh_lib.fetch_to_host(opt_state)
                         self.ckpt.save_best(
                             {
-                                "params": jax.device_get(params),
-                                "opt_state": jax.device_get(opt_state),
+                                "params": valid_params,
+                                "opt_state": host_opt,
                                 "step": np.int64(step),
                                 "metric": np.float32(metric),
                             }
@@ -275,11 +288,12 @@ class Trainer:
                                 self.mesh, best["opt_state"], opt_specs
                             )
                         lr_scale *= self.lr_backoff
-                        self.writer.write(
-                            step,
-                            {"tries": tries, "lr_scale": lr_scale},
-                            prefix="early_stop/",
-                        )
+                        if self.writer:
+                            self.writer.write(
+                                step,
+                                {"tries": tries, "lr_scale": lr_scale},
+                                prefix="early_stop/",
+                            )
                         if tries >= self.num_tries:
                             stop = True
                             break
@@ -289,16 +303,19 @@ class Trainer:
             params, opt_state, step, lr_scale, best_metric, tries
         )
         if self.valid_fn is None and not self.ckpt.exists("best"):
+            host_params = mesh_lib.fetch_to_host(params)
+            host_opt = mesh_lib.fetch_to_host(opt_state)
             # no validation: final model doubles as best
             self.ckpt.save_best(
                 {
-                    "params": jax.device_get(params),
-                    "opt_state": jax.device_get(opt_state),
+                    "params": host_params,
+                    "opt_state": host_opt,
                     "step": np.int64(step),
                     "metric": np.float32(np.inf),
                 }
             )
-        self.writer.close()
+        if self.writer:
+            self.writer.close()
         return {
             "params": params,
             "step": step,
@@ -307,10 +324,14 @@ class Trainer:
         }
 
     def _save_latest(self, params, opt_state, step, lr_scale, best, tries):
+        # both the fetch and the orbax save are collective: every host
+        # participates, orbax writes from the primary
+        host_params = mesh_lib.fetch_to_host(params)
+        host_opt = mesh_lib.fetch_to_host(opt_state)
         self.ckpt.save_latest(
             {
-                "params": jax.device_get(params),
-                "opt_state": jax.device_get(opt_state),
+                "params": host_params,
+                "opt_state": host_opt,
                 "step": np.int64(step),
                 "lr_scale": np.float32(lr_scale),
                 "best_metric": np.float32(best),
