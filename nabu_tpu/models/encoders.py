@@ -18,6 +18,19 @@ from nabu_tpu.models import core
 from nabu_tpu.registry import ENCODERS
 
 
+def _maybe_remat(remat: bool, impl: str):
+    """Per-layer BLSTM apply, optionally rematerialized: with
+    ``remat = true`` in the encoder section, layer activations are
+    recomputed in the backward pass instead of stored — trading FLOPs
+    for HBM (deep encoders on long utterances)."""
+    import functools
+
+    fn = functools.partial(core.blstm_apply, impl=impl)
+    if remat:
+        return jax.checkpoint(fn)
+    return fn
+
+
 class Encoder:
     """Base encoder: hyperparams from an [encoder] config section."""
 
@@ -51,6 +64,7 @@ class DBLSTM(Encoder):
         self.num_units = conf.getint("num_units", 128)
         self.dropout = conf.getfloat("dropout", 0.0)
         self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
+        self.remat = conf.getbool("remat", False)
         self.output_dim = 2 * self.num_units
 
     def init(self, key) -> dict:
@@ -62,9 +76,10 @@ class DBLSTM(Encoder):
         return params
 
     def apply(self, params, features, lengths, train=False, rng=None):
+        layer_fn = _maybe_remat(self.remat, self.impl)
         x = features
         for i in range(self.num_layers):
-            x = core.blstm_apply(params[f"layer_{i}"], x, lengths, impl=self.impl)
+            x = layer_fn(params[f"layer_{i}"], x, lengths)
             if train and self.dropout > 0 and rng is not None:
                 rng, sub = jax.random.split(rng)
                 x = core.dropout(sub, x, self.dropout, train)
@@ -83,6 +98,7 @@ class Listener(Encoder):
         self.num_units = conf.getint("num_units", 256)
         self.dropout = conf.getfloat("dropout", 0.0)
         self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
+        self.remat = conf.getbool("remat", False)
         self.output_dim = 2 * self.num_units
 
     def init(self, key) -> dict:
@@ -103,15 +119,12 @@ class Listener(Encoder):
                 return core.dropout(sub, x, self.dropout, train), rng
             return x, rng
 
-        x = core.blstm_apply(
-            params["bottom"], x=features, lengths=lengths, impl=self.impl
-        )
+        layer_fn = _maybe_remat(self.remat, self.impl)
+        x = layer_fn(params["bottom"], features, lengths)
         x, rng = _dropout(x, rng)
         for i in range(self.num_layers):
             x, lengths = core.pyramid_stack(x, lengths)
-            x = core.blstm_apply(
-                params[f"pyramid_{i}"], x, lengths, impl=self.impl
-            )
+            x = layer_fn(params[f"pyramid_{i}"], x, lengths)
             x, rng = _dropout(x, rng)
         return x, lengths
 

@@ -21,17 +21,35 @@ from nabu_tpu.models.encoders import Encoder, build_encoder
 
 
 class Model:
-    """Encoder + named decoder heads, all functional pytree modules."""
+    """Encoder + named decoder heads, all functional pytree modules.
+
+    ``compute_dtype`` (from ``[model] compute_dtype = bfloat16``) casts
+    params and features at the model boundary so the whole forward runs
+    in bf16 (MXU-native) while parameters, optimizer state and losses
+    stay float32 — the standard TPU mixed-precision recipe.
+    """
 
     def __init__(
         self,
         encoder: Encoder,
         decoders: Dict[str, Decoder],
         head_confs: Dict[str, Conf],
+        compute_dtype: str = "float32",
     ):
         self.encoder = encoder
         self.decoders = decoders
         self.head_confs = head_confs
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+    def _cast_in(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     # loss spec per head: (loss name, weight)
     def head_loss(self, name: str) -> Tuple[str, float]:
@@ -54,7 +72,11 @@ class Model:
     def encode(self, params, features, lengths, train=False, rng=None):
         with jax.named_scope("encoder"):
             return self.encoder.apply(
-                params["encoder"], features, lengths, train=train, rng=rng
+                self._cast_in(params["encoder"]),
+                self._cast_in(features),
+                lengths,
+                train=train,
+                rng=rng,
             )
 
     def apply(
@@ -74,6 +96,7 @@ class Model:
         pick one head and need no targets for the others)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        params = self._cast_in(params)
         rng_enc, rng_dec = jax.random.split(rng)
         encoded, enc_lengths = self.encode(
             params, features, feature_lengths, train=train, rng=rng_enc
@@ -84,7 +107,7 @@ class Model:
                 continue
             rng_dec, sub = jax.random.split(rng_dec)
             with jax.named_scope(f"decoder_{name}"):
-                outputs[name] = dec.apply(
+                logits, logit_lengths = dec.apply(
                     params["decoders"][name],
                     encoded,
                     enc_lengths,
@@ -92,6 +115,10 @@ class Model:
                     target_lengths=target_lengths,
                     train=train,
                     rng=sub,
+                )
+                # losses and decoding run in float32
+                outputs[name] = (
+                    logits.astype(jnp.float32), logit_lengths
                 )
         return outputs
 
@@ -106,10 +133,16 @@ def build_model(model_cfg: ConfigFile, input_dim: int, num_labels: int) -> Model
     enc_conf = model_cfg.section("encoder")
     encoder = build_encoder(enc_conf, input_dim)
 
-    if "model" in model_cfg and "decoders" in model_cfg.section("model"):
-        head_names = model_cfg.section("model").getlist("decoders")
+    model_section = model_cfg.get_section("model")
+    if model_section is not None and "decoders" in model_section:
+        head_names = model_section.getlist("decoders")
     else:
         head_names = ["decoder"]
+    compute_dtype = (
+        model_section.get("compute_dtype", "float32")
+        if model_section is not None
+        else "float32"
+    )
 
     decoders: Dict[str, Decoder] = {}
     head_confs: Dict[str, Conf] = {}
@@ -117,4 +150,4 @@ def build_model(model_cfg: ConfigFile, input_dim: int, num_labels: int) -> Model
         conf = model_cfg.section(name)
         decoders[name] = build_decoder(conf, encoder.output_dim, num_labels)
         head_confs[name] = conf
-    return Model(encoder, decoders, head_confs)
+    return Model(encoder, decoders, head_confs, compute_dtype)

@@ -229,3 +229,71 @@ class TestModelContainer:
         np.testing.assert_array_equal(np.asarray(ctc_len), [6, 4])
         assert model.head_loss("att") == ("cross_entropy", 0.7)
         assert model.head_loss("ctc") == ("ctc", 0.3)
+
+
+class TestComputeOptions:
+    def _cfg(self, extra_model=None, extra_enc=None):
+        from nabu_tpu.config import Conf, ConfigFile
+
+        enc = {"encoder": "dblstm", "num_layers": "2", "num_units": "16"}
+        enc.update(extra_enc or {})
+        sections = {
+            "encoder": Conf(enc, "encoder"),
+            "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                            "decoder"),
+        }
+        if extra_model:
+            sections["model"] = Conf(extra_model, "model")
+        return ConfigFile(sections)
+
+    def _batch(self):
+        rng = np.random.default_rng(0)
+        return (
+            jnp.asarray(rng.standard_normal((2, 20, 8)).astype(np.float32)),
+            jnp.array([20, 14]),
+            jnp.asarray(rng.integers(0, 4, (2, 4)).astype(np.int32)),
+            jnp.array([4, 2]),
+        )
+
+    def test_bfloat16_compute(self):
+        from nabu_tpu.models.model import build_model
+
+        feats, flen, tgts, tlen = self._batch()
+        m32 = build_model(self._cfg(), 8, 4)
+        mbf = build_model(
+            self._cfg(extra_model={"compute_dtype": "bfloat16"}), 8, 4
+        )
+        params = m32.init(jax.random.PRNGKey(0))
+        (l32, _), = [m32.apply(params, feats, flen, tgts, tlen)["decoder"]]
+        (lbf, _), = [mbf.apply(params, feats, flen, tgts, tlen)["decoder"]]
+        assert lbf.dtype == jnp.float32  # logits cast back for losses
+        # bf16 forward approximates f32 within bf16 tolerance
+        np.testing.assert_allclose(
+            np.asarray(lbf), np.asarray(l32), rtol=0.1, atol=0.1
+        )
+
+    def test_remat_matches(self):
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.ops.losses import make_loss_computer
+
+        feats, flen, tgts, tlen = self._batch()
+        batch = {
+            "features": feats, "feature_lengths": flen,
+            "targets": tgts, "target_lengths": tlen,
+            "example_mask": jnp.ones((2,)),
+        }
+        m = build_model(self._cfg(), 8, 4)
+        mr = build_model(self._cfg(extra_enc={"remat": "true"}), 8, 4)
+        params = m.init(jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(1)
+        l1, g1 = jax.value_and_grad(
+            lambda p: make_loss_computer(m)(p, batch, rng, True)[0]
+        )(params)
+        l2, g2 = jax.value_and_grad(
+            lambda p: make_loss_computer(mr)(p, batch, rng, True)[0]
+        )(params)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
