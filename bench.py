@@ -132,8 +132,47 @@ def naive_lstm_scan(p, x, lengths, reverse=False, forget_bias=1.0, unroll=1):
     return ys
 
 
+def time_decode(model, params, batch, beam_width, steps, repeats):
+    """Median decode RTF (processing time / audio time), CTC prefix
+    beam search over the full batch inside jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from nabu_tpu.decoding.ctc_beam import ctc_prefix_beam_search
+
+    feats = jnp.asarray(batch["features"])
+    flen = jnp.asarray(batch["feature_lengths"])
+
+    @jax.jit
+    def decode(params, feats, flen):
+        outputs = model.apply(params, feats, flen)
+        logits, logit_lengths = outputs["decoder"]
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        return ctc_prefix_beam_search(
+            logprobs, logit_lengths, beam_width, logits.shape[-1] - 1,
+            max_label_len=128,
+        )
+
+    def sync(out):
+        return float(jnp.sum(out[2]))
+
+    sync(decode(params, feats, flen))
+    audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
+    rtfs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = decode(params, feats, flen)
+        sync(out)
+        rtfs.append((time.perf_counter() - t0) / audio_s)
+    return sorted(rtfs)[len(rtfs) // 2]
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["train", "decode"],
+                        default="train")
+    parser.add_argument("--beam_width", type=int, default=8)
     parser.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu)")
     parser.add_argument("--batch", type=int, default=32)
@@ -170,6 +209,19 @@ def main():
         "bfloat16" if args.bf16 else "float32",
     )
     params = model.init(jax.random.PRNGKey(0))
+
+    if args.mode == "decode":
+        rtf = time_decode(
+            model, params, batch, args.beam_width,
+            max(args.steps // 4, 1), args.repeats,
+        )
+        print(json.dumps({
+            "metric": "ctc_beam_decode_rtf",
+            "value": round(rtf, 5),
+            "unit": "rtf",
+            "vs_baseline": 1.0,
+        }))
+        return
 
     audio_s = B * T * frame_shift * args.steps
     values = []

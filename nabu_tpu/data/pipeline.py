@@ -259,6 +259,33 @@ def batches_forever(
         epoch += 1
 
 
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch: overlaps host batch assembly (mmap
+    reads, padding, copies) with device execution of previous steps.
+    The reference got this from TF input queues; here a bounded queue
+    does the same for the numpy loader."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 def batch_to_arrays(batch: Batch) -> Dict[str, np.ndarray]:
     """Batch -> dict pytree consumable by jit (drops utt ids)."""
     out = {

@@ -194,8 +194,10 @@ class Trainer:
         t_last = time.time()
         frames_since_log = 0
 
+        from nabu_tpu.data.pipeline import prefetch
+
         while not stop and step < self.num_steps:
-            for batch in self.loader.epoch(epoch, shuffle=True):
+            for batch in prefetch(self.loader.epoch(epoch, shuffle=True)):
                 if skip > 0:
                     skip -= 1
                     continue
