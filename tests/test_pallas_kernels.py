@@ -204,3 +204,20 @@ class TestLSTMPallas:
                 np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
                 err_msg=f"block_t={bt}",
             )
+
+
+class TestBLSTMFused:
+    def test_matches_blstm_apply(self):
+        from nabu_tpu.models import core
+        from nabu_tpu.ops.pallas.blstm import blstm_fused_forward
+
+        key = jax.random.PRNGKey(2)
+        p = core.blstm_init(key, 5, 7)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((3, 13, 5)).astype(np.float32))
+        lengths = jnp.array([13, 9, 2])
+        ref = core.blstm_apply(p, x, lengths)
+        got = blstm_fused_forward(p, x, lengths, interpret=True, block_t=4)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
