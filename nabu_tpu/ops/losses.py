@@ -36,7 +36,9 @@ def ctc_loss_fn(
     (nabu_tpu.ops.pallas.ctc)."""
     del label_smoothing  # not applicable to CTC
     if use_pallas:
-        from nabu_tpu.ops.pallas.ctc import ctc_loss_pallas
+        from nabu_tpu.ops.pallas.ctc_batched import (
+            ctc_loss_pallas_batched as ctc_loss_pallas,
+        )
 
         nll = ctc_loss_pallas(
             logits, logit_lengths, targets, target_lengths,

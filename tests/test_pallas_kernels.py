@@ -221,3 +221,45 @@ class TestBLSTMFused:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestCTCBatched:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_loss_and_grad_match_oracle(self, seed):
+        from nabu_tpu.ops.ctc import ctc_loss
+        from nabu_tpu.ops.pallas.ctc_batched import ctc_loss_pallas_batched
+
+        rng = np.random.default_rng(seed)
+        B, T, V, L = 3, 17, 6, 4
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        labels = rng.integers(0, V - 1, size=(B, L)).astype(np.int32)
+        logit_len = rng.integers(L + 2, T + 1, size=(B,)).astype(np.int32)
+        label_len = rng.integers(0, L + 1, size=(B,)).astype(np.int32)
+
+        ref = ctc_loss(
+            jnp.asarray(logits), jnp.asarray(logit_len),
+            jnp.asarray(labels), jnp.asarray(label_len),
+        )
+        got = ctc_loss_pallas_batched(
+            jnp.asarray(logits), jnp.asarray(logit_len),
+            jnp.asarray(labels), jnp.asarray(label_len), V - 1, True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+        g_ref = jax.grad(
+            lambda lg: ctc_loss(
+                lg, jnp.asarray(logit_len), jnp.asarray(labels),
+                jnp.asarray(label_len),
+            ).sum()
+        )(jnp.asarray(logits))
+        g_got = jax.grad(
+            lambda lg: ctc_loss_pallas_batched(
+                lg, jnp.asarray(logit_len), jnp.asarray(labels),
+                jnp.asarray(label_len), V - 1, True,
+            ).sum()
+        )(jnp.asarray(logits))
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=1e-3, atol=1e-4
+        )
