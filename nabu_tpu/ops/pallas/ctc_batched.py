@@ -104,7 +104,6 @@ def _bwd_kernel(
     beta_s,  # VMEM [B, S]
     *,
     block_t: int,
-    total_t: int,
 ):
     skip = skip_ref[0] > 0.5
     tlen = tlen_ref[:]  # [B, 1]
@@ -171,7 +170,6 @@ def _ctc_forward(logprobs, logit_lengths, labels, label_lengths, blank_id,
         (lanes == 0) | ((lanes == 1) & (l_len > 0)), 0.0, NEG_INF
     )[None]  # [1, B, Sp]
     tlen = logit_lengths.astype(jnp.float32)[:, None]
-    t_iota = None
 
     bt = min(block_t, T)
     pad = (-T) % bt
@@ -228,7 +226,7 @@ def _ctc_forward(logprobs, logit_lengths, labels, label_lengths, blank_id,
     )  # [nb, B, Sp]
 
     posts = pl.pallas_call(
-        functools.partial(_bwd_kernel, block_t=bt, total_t=Tp),
+        functools.partial(_bwd_kernel, block_t=bt),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((bt, B, Sp), lambda j, nb=nb: (nb - 1 - j, 0, 0),
