@@ -9,7 +9,6 @@ or a shell pipe ending in ``|`` whose stdout is a wav stream.
 from __future__ import annotations
 
 import io
-import struct
 import subprocess
 import wave
 from typing import Tuple

@@ -18,7 +18,6 @@ common LAS beam-search conventions.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

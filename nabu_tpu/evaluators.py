@@ -9,10 +9,9 @@ stopping and for `run test` scoring.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
-import numpy as np
 
 from nabu_tpu.config import Conf
 from nabu_tpu.data.pipeline import BucketedLoader, batch_to_arrays

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from nabu_tpu.ops import ctc as ctc_ops
-from nabu_tpu.ops.masking import sequence_mask
 from nabu_tpu.registry import LOSSES
 
 

@@ -15,7 +15,6 @@ from nabu_tpu.scripts.common import (
     ids_to_text,
     make_loader,
     model_from_recipe,
-    open_dataset,
 )
 from nabu_tpu.scripts.test import load_best_params
 
