@@ -158,17 +158,15 @@ def blstm_apply(
 ) -> jnp.ndarray:
     """Bidirectional LSTM -> [B, T, 2H] (fw ++ bw).
 
-    impl="pallas" runs the fused Pallas sequence kernel
-    (nabu_tpu.ops.pallas.lstm) instead of the lax.scan cell.
+    impl="pallas" runs the fused dual-direction Pallas kernel
+    (nabu_tpu.ops.pallas.blstm) instead of the lax.scan cell.
     """
     if impl == "pallas":
-        from nabu_tpu.ops.pallas.lstm import lstm_scan_pallas
+        from nabu_tpu.ops.pallas.blstm import blstm_apply_fused
 
-        fw = lstm_scan_pallas(p["fw"], x, lengths, reverse=False)
-        bw = lstm_scan_pallas(p["bw"], x, lengths, reverse=True)
-    else:
-        fw = lstm_scan(p["fw"], x, lengths, reverse=False, unroll=unroll)
-        bw = lstm_scan(p["bw"], x, lengths, reverse=True, unroll=unroll)
+        return blstm_apply_fused(p, x, lengths)
+    fw = lstm_scan(p["fw"], x, lengths, reverse=False, unroll=unroll)
+    bw = lstm_scan(p["bw"], x, lengths, reverse=True, unroll=unroll)
     return jnp.concatenate([fw, bw], axis=-1)
 
 
