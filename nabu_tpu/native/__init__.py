@@ -57,6 +57,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.fbank_num_frames.restype = ctypes.c_int64
+        lib.fbank_num_frames.argtypes = [ctypes.c_int64] * 3
+        lib.fbank_f32.restype = ctypes.c_int32
+        lib.fbank_f32.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, f32p, f32p, ctypes.c_int64,
+            ctypes.c_int32, f32p,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -102,3 +111,43 @@ def edit_distance_batch(
         out.ctypes.data_as(i64p),
     )
     return out, int(total)
+
+
+def fbank(
+    signal: np.ndarray,
+    frame_len: int,
+    frame_step: int,
+    nfft: int,
+    preemph: float,
+    win: np.ndarray,
+    fb: np.ndarray,
+    include_energy: bool = False,
+) -> np.ndarray:
+    """Log-mel fbank features via the native one-pass pipeline.
+
+    ``win`` [frame_len] and ``fb`` [nfilt, nfft//2+1] come from
+    features.sigproc so the geometry matches the numpy oracle exactly.
+    Requires power-of-two nfft; raises RuntimeError if the library is
+    unavailable or arguments are unsupported — callers fall back to the
+    numpy path.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    signal = np.ascontiguousarray(signal, dtype=np.float32)
+    win = np.ascontiguousarray(win, dtype=np.float32)
+    fb = np.ascontiguousarray(fb, dtype=np.float32)
+    nfilt = fb.shape[0]
+    num_frames = lib.fbank_num_frames(len(signal), frame_len, frame_step)
+    dim = nfilt + (1 if include_energy else 0)
+    out = np.empty((num_frames, dim), dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.fbank_f32(
+        signal.ctypes.data_as(f32p), len(signal), frame_len, frame_step,
+        nfft, preemph, win.ctypes.data_as(f32p),
+        fb.ctypes.data_as(f32p), nfilt,
+        1 if include_energy else 0, out.ctypes.data_as(f32p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native fbank unsupported arguments (rc={rc})")
+    return out

@@ -3,4 +3,5 @@
 # by nabu_tpu.native on first use; safe to re-run.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -shared -fPIC -std=c++17 -o libnabu_native.so edit_distance.cc
+g++ -O3 -shared -fPIC -std=c++17 -o libnabu_native.so \
+    edit_distance.cc fbank.cc

@@ -160,3 +160,51 @@ class TestJaxFrontend:
         sigs = np.stack([_sig(seed=i) for i in range(3)])
         out = jf.batched_log_mel(fp, jnp.asarray(sigs), 99)
         assert out.shape == (3, 99, 40)
+
+
+class TestNativeFbank:
+    """Native C++ one-pass fbank vs the numpy oracle path."""
+
+    def _pair(self, **extra):
+        base = {"feature": "fbank", "nfilt": "40"}
+        base.update(extra)
+        nat = make_feature_computer(Conf(base))
+        ref = make_feature_computer(Conf({**base, "use_native": "false"}))
+        return nat, ref
+
+    @pytest.mark.parametrize("extra", [
+        {},
+        {"include_energy": "true"},
+        {"dynamic": "ddelta", "mvn": "true"},
+        {"window": "povey", "preemph": "0.0"},
+        {"winlen": "0.032", "winstep": "0.016"},
+    ])
+    def test_matches_numpy_oracle(self, extra):
+        from nabu_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        nat, ref = self._pair(**extra)
+        rng = np.random.default_rng(0)
+        sig = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        a, b = nat(sig, 16000.0), ref(sig, 16000.0)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    def test_short_signal(self):
+        from nabu_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        nat, ref = self._pair()
+        sig = np.ones(100, np.float32)  # shorter than one frame
+        a, b = nat(sig, 16000.0), ref(sig, 16000.0)
+        assert a.shape == b.shape == (1, 40)
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    def test_non_pow2_nfft_falls_back(self):
+        nat, ref = self._pair(nfft="400")
+        sig = np.sin(np.arange(8000, dtype=np.float32) * 0.03)
+        np.testing.assert_allclose(
+            nat(sig, 16000.0), ref(sig, 16000.0), atol=1e-6
+        )
