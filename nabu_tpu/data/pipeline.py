@@ -259,11 +259,18 @@ def batches_forever(
         epoch += 1
 
 
-def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+def prefetch(
+    iterator: Iterator, size: int = 2, to_device: bool = False
+) -> Iterator:
     """Background-thread prefetch: overlaps host batch assembly (mmap
     reads, padding, copies) with device execution of previous steps.
     The reference got this from TF input queues; here a bounded queue
-    does the same for the numpy loader."""
+    does the same for the numpy loader.
+
+    ``to_device=True`` additionally issues the (async) host->device
+    transfer from the producer thread, so the copy of batch N+1
+    overlaps the device compute of batch N and the jitted step consumes
+    device-resident arrays."""
     import queue
     import threading
 
@@ -273,6 +280,14 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     def producer():
         try:
             for item in iterator:
+                if to_device:
+                    import jax
+
+                    item = jax.tree.map(
+                        lambda x: jax.device_put(x)
+                        if hasattr(x, "dtype") else x,
+                        item,
+                    )
                 q.put(item)
         finally:
             q.put(sentinel)

@@ -16,7 +16,13 @@ Training uses the same trick in reverse: both directions' backward
 passes walk their OWN time descending, which is the same mirrored-block
 pattern, so one backward kernel advances fw-backward and bw-backward
 together (two dgates computations, two d(wh) accumulations, two
-carry-propagation matmuls per row) — see ``blstm_fused`` (custom VJP).
+carry-propagation matmuls per row) — see ``blstm_seq_fused`` (custom
+VJP).
+
+Mixed precision: everything follows the input dtype (the model's
+compute_dtype). In bfloat16 the h carries, outputs, and both matmul
+operands are bf16 — MXU-native rate — while gate pre-activations, cell
+state c, and all backward accumulations (dwh, dh, dc) stay float32.
 
 Oracle: nabu_tpu.models.core.blstm_apply.
 """
@@ -35,6 +41,26 @@ from nabu_tpu.ops.pallas import on_tpu
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _cell(xw, h, c, wh, m, forget_bias, H):
+    """One masked LSTM cell step; returns (h_out, h_next, c_next).
+
+    h is in the compute dtype (matmul operand); gate math and c are
+    float32. h_out/h_next are cast back to the compute dtype.
+    """
+    gates = xw.astype(jnp.float32) + jnp.dot(
+        h, wh, preferred_element_type=jnp.float32
+    )
+    gi = jax.nn.sigmoid(gates[:, :H])
+    gf = jax.nn.sigmoid(gates[:, H : 2 * H] + forget_bias)
+    gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+    go = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = gf * c + gi * gg
+    h_new = (go * jnp.tanh(c_new)).astype(h.dtype)
+    h_next = jnp.where(m > 0.5, h_new, h)
+    c_next = jnp.where(m > 0.5, c_new, c)
+    return h_new, h_next, c_next
+
+
 def _blstm_kernel(
     xw_fw_ref,  # [BT, B, 4H] forward input projections, block j
     xw_bw_ref,  # [BT, B, 4H] reversed-time projections, block nb-1-j
@@ -44,7 +70,7 @@ def _blstm_kernel(
     wh_bw_ref,  # [H, 4H]
     out_fw_ref,  # [BT, B, H]
     out_bw_ref,  # [BT, B, H] (in reversed time; host flips back)
-    hf_s, cf_s, hb_s, cb_s,  # VMEM [B, H] carries
+    hf_s, cf_s, hb_s, cb_s,  # VMEM carries: h in compute dtype, c f32
     *,
     block_t: int,
     forget_bias: float,
@@ -58,30 +84,24 @@ def _blstm_kernel(
 
     H = wh_fw_ref.shape[0]
 
-    def cell(xw, h, c, wh, m):
-        gates = xw + jnp.dot(h, wh, preferred_element_type=jnp.float32)
-        gi = jax.nn.sigmoid(gates[:, :H])
-        gf = jax.nn.sigmoid(gates[:, H : 2 * H] + forget_bias)
-        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
-        go = jax.nn.sigmoid(gates[:, 3 * H :])
-        c_new = gf * c + gi * gg
-        h_new = go * jnp.tanh(c_new)
-        h_next = jnp.where(m > 0.5, h_new, h)
-        c_next = jnp.where(m > 0.5, c_new, c)
-        return h_new, h_next, c_next
-
     def body(i, _):
         mf = mask_fw_ref[i][:, None]
         mb = mask_bw_ref[i][:, None]
         # two independent matmuls per iteration — MXU pipelines them
-        h_new_f, hf, cf = cell(xw_fw_ref[i], hf_s[:], cf_s[:], wh_fw_ref[:], mf)
-        h_new_b, hb, cb = cell(xw_bw_ref[i], hb_s[:], cb_s[:], wh_bw_ref[:], mb)
+        h_new_f, hf, cf = _cell(
+            xw_fw_ref[i], hf_s[:], cf_s[:], wh_fw_ref[:], mf,
+            forget_bias, H,
+        )
+        h_new_b, hb, cb = _cell(
+            xw_bw_ref[i], hb_s[:], cb_s[:], wh_bw_ref[:], mb,
+            forget_bias, H,
+        )
         hf_s[:] = hf
         cf_s[:] = cf
         hb_s[:] = hb
         cb_s[:] = cb
-        out_fw_ref[i] = h_new_f * mf
-        out_bw_ref[i] = h_new_b * mb
+        out_fw_ref[i] = h_new_f * mf.astype(h_new_f.dtype)
+        out_bw_ref[i] = h_new_b * mb.astype(h_new_b.dtype)
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
@@ -99,12 +119,13 @@ def blstm_fused_forward(
     interpret: bool | None = None,
     block_t: int = 32,
 ) -> jnp.ndarray:
-    """Fused BLSTM forward -> [B, T, 2H] (fw ++ bw)."""
+    """Fused BLSTM forward -> [B, T, 2H] (fw ++ bw), in x's dtype."""
     if interpret is None:
         interpret = not on_tpu()
     B, T, _ = x.shape
     H = params["fw"]["wh"].shape[0]
     H4 = 4 * H
+    dt = x.dtype
 
     mask = (
         jnp.arange(T, dtype=lengths.dtype)[None, :] < lengths[:, None]
@@ -155,10 +176,15 @@ def blstm_fused_forward(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), dt),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), dt),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
@@ -179,7 +205,8 @@ def _fwd_train_kernel(
     xw_fw_ref, xw_bw_ref,  # [BT, B, 4H]
     mask_fw_ref, mask_bw_ref,  # [BT, B]
     wh_fw_ref, wh_bw_ref,  # [H, 4H]
-    hc_fw_ref, hc_bw_ref,  # out [BT, B, 2H] post-mask carries
+    h_fw_ref, h_bw_ref,  # out [BT, B, H] post-mask carries, compute dtype
+    c_fw_ref, c_bw_ref,  # out [BT, B, H] post-mask cell states, f32
     hf_s, cf_s, hb_s, cb_s,
     *,
     block_t: int,
@@ -194,30 +221,25 @@ def _fwd_train_kernel(
 
     H = wh_fw_ref.shape[0]
 
-    def cell(xw, h, c, wh, m):
-        gates = xw + jnp.dot(h, wh, preferred_element_type=jnp.float32)
-        gi = jax.nn.sigmoid(gates[:, :H])
-        gf = jax.nn.sigmoid(gates[:, H : 2 * H] + forget_bias)
-        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
-        go = jax.nn.sigmoid(gates[:, 3 * H :])
-        c_new = gf * c + gi * gg
-        h_new = go * jnp.tanh(c_new)
-        return (
-            jnp.where(m > 0.5, h_new, h),
-            jnp.where(m > 0.5, c_new, c),
-        )
-
     def body(i, _):
         mf = mask_fw_ref[i][:, None]
         mb = mask_bw_ref[i][:, None]
-        hf, cf = cell(xw_fw_ref[i], hf_s[:], cf_s[:], wh_fw_ref[:], mf)
-        hb, cb = cell(xw_bw_ref[i], hb_s[:], cb_s[:], wh_bw_ref[:], mb)
+        _, hf, cf = _cell(
+            xw_fw_ref[i], hf_s[:], cf_s[:], wh_fw_ref[:], mf,
+            forget_bias, H,
+        )
+        _, hb, cb = _cell(
+            xw_bw_ref[i], hb_s[:], cb_s[:], wh_bw_ref[:], mb,
+            forget_bias, H,
+        )
         hf_s[:] = hf
         cf_s[:] = cf
         hb_s[:] = hb
         cb_s[:] = cb
-        hc_fw_ref[i] = jnp.concatenate([hf, cf], axis=-1)
-        hc_bw_ref[i] = jnp.concatenate([hb, cb], axis=-1)
+        h_fw_ref[i] = hf
+        h_bw_ref[i] = hb
+        c_fw_ref[i] = cf
+        c_bw_ref[i] = cb
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
@@ -227,11 +249,13 @@ def _bwd_train_kernel(
     xw_fw_ref, xw_bw_ref,  # [BT, B, 4H] (blocks nb-1-j)
     mask_fw_ref, mask_bw_ref,  # [BT, B]
     wh_fw_ref, wh_bw_ref,  # [H, 4H]
-    hc_fw_ref, hc_bw_ref,  # [BT, B, 2H]
-    bnd_fw_ref, bnd_bw_ref,  # [1, B, 2H] block entry carries
+    h_fw_ref, h_bw_ref,  # [BT, B, H] compute dtype
+    c_fw_ref, c_bw_ref,  # [BT, B, H] f32
+    bhnd_fw_ref, bhnd_bw_ref,  # [1, B, H] block entry h carries
+    bcnd_fw_ref, bcnd_bw_ref,  # [1, B, H] block entry c carries
     g_fw_ref, g_bw_ref,  # [BT, B, H] cotangents of masked outputs
-    dxw_fw_ref, dxw_bw_ref,  # out [BT, B, 4H]
-    dwh_fw_ref, dwh_bw_ref,  # out [H, 4H] accumulated
+    dxw_fw_ref, dxw_bw_ref,  # out [BT, B, 4H] compute dtype
+    dwh_fw_ref, dwh_bw_ref,  # out [H, 4H] f32 accumulated
     dhf_s, dcf_s, dhb_s, dcb_s,
     *,
     block_t: int,
@@ -247,25 +271,23 @@ def _bwd_train_kernel(
         dwh_bw_ref[:] = jnp.zeros_like(dwh_bw_ref)
 
     H = wh_fw_ref.shape[0]
+    cdt = h_fw_ref.dtype
 
-    def direction(i, xw_ref, mask_ref, wh_ref, hc_ref, bnd_ref, g_ref,
-                  dxw_ref, dwh_ref, dh_s, dc_s):
+    def direction(i, xw_ref, mask_ref, wh_ref, h_ref, c_ref, bhnd_ref,
+                  bcnd_ref, g_ref, dxw_ref, dwh_ref, dh_s, dc_s):
         m = mask_ref[i][:, None]
-        prev = jnp.where(
-            i > 0, hc_ref[jnp.maximum(i - 1, 0)], bnd_ref[0]
-        )
-        h_prev = prev[:, :H]
-        c_prev = prev[:, H:]
-        gates = xw_ref[i] + jnp.dot(
+        h_prev = jnp.where(i > 0, h_ref[jnp.maximum(i - 1, 0)], bhnd_ref[0])
+        c_prev = jnp.where(i > 0, c_ref[jnp.maximum(i - 1, 0)], bcnd_ref[0])
+        gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
             h_prev, wh_ref[:], preferred_element_type=jnp.float32
         )
         gi = jax.nn.sigmoid(gates[:, :H])
         gf = jax.nn.sigmoid(gates[:, H : 2 * H] + forget_bias)
         gg = jnp.tanh(gates[:, 2 * H : 3 * H])
         go = jax.nn.sigmoid(gates[:, 3 * H :])
-        c_t = hc_ref[i][:, H:]
+        c_t = c_ref[i]
         tanh_c = jnp.tanh(c_t)
-        dh_total = g_ref[i] * m + dh_s[:]
+        dh_total = g_ref[i].astype(jnp.float32) * m + dh_s[:]
         dh_new = jnp.where(m > 0.5, dh_total, 0.0)
         dc_new = (
             jnp.where(m > 0.5, dc_s[:], 0.0)
@@ -276,24 +298,25 @@ def _bwd_train_kernel(
         dgg = dc_new * gi * (1.0 - gg * gg)
         dgo = dh_new * tanh_c * go * (1.0 - go)
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
-        dxw_ref[i] = dgates
+        dgates_c = dgates.astype(cdt)
+        dxw_ref[i] = dgates_c
         dwh_ref[:] += jnp.dot(
-            h_prev.T, dgates, preferred_element_type=jnp.float32
+            h_prev.T, dgates_c, preferred_element_type=jnp.float32
         )
         dh_prev = jnp.dot(
-            dgates, wh_ref[:].T, preferred_element_type=jnp.float32
+            dgates_c, wh_ref[:].T, preferred_element_type=jnp.float32
         )
         dh_s[:] = dh_prev + jnp.where(m > 0.5, 0.0, dh_total)
         dc_s[:] = dc_new * gf + jnp.where(m > 0.5, 0.0, dc_s[:])
 
     def body(k, _):
         i = block_t - 1 - k
-        direction(i, xw_fw_ref, mask_fw_ref, wh_fw_ref, hc_fw_ref,
-                  bnd_fw_ref, g_fw_ref, dxw_fw_ref, dwh_fw_ref,
-                  dhf_s, dcf_s)
-        direction(i, xw_bw_ref, mask_bw_ref, wh_bw_ref, hc_bw_ref,
-                  bnd_bw_ref, g_bw_ref, dxw_bw_ref, dwh_bw_ref,
-                  dhb_s, dcb_s)
+        direction(i, xw_fw_ref, mask_fw_ref, wh_fw_ref, h_fw_ref,
+                  c_fw_ref, bhnd_fw_ref, bcnd_fw_ref, g_fw_ref,
+                  dxw_fw_ref, dwh_fw_ref, dhf_s, dcf_s)
+        direction(i, xw_bw_ref, mask_bw_ref, wh_bw_ref, h_bw_ref,
+                  c_bw_ref, bhnd_bw_ref, bcnd_bw_ref, g_bw_ref,
+                  dxw_bw_ref, dwh_bw_ref, dhb_s, dcb_s)
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
@@ -308,7 +331,8 @@ def blstm_seq_fused(
 
     All arrays time-major; the bw arrays are in the bw direction's own
     (flipped) time order. Returns (h_fw [T,B,H], h_bw [T,B,H]) masked
-    outputs, bw in flipped order (caller un-flips and concatenates).
+    outputs in xw's dtype, bw in flipped order (caller un-flips and
+    concatenates).
     """
     out, _ = _fused_fwd(
         xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
@@ -323,6 +347,7 @@ def _fused_fwd(xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
         interpret = not on_tpu()
     T, B, H4 = xw_fw.shape
     H = H4 // 4
+    dt = xw_fw.dtype
     bt = min(block_t, T)
     pad = (-T) % bt
 
@@ -336,7 +361,7 @@ def _fused_fwd(xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
     Tp = xw_fw_p.shape[0]
     nb = Tp // bt
 
-    hc_fw, hc_bw = pl.pallas_call(
+    h_fw, h_bw, c_fw, c_bw = pl.pallas_call(
         functools.partial(
             _fwd_train_kernel, block_t=bt, forget_bias=forget_bias
         ),
@@ -356,38 +381,50 @@ def _fused_fwd(xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bt, B, 2 * H), lambda j: (j, 0, 0),
+            pl.BlockSpec((bt, B, H), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, 2 * H), lambda j: (j, 0, 0),
+            pl.BlockSpec((bt, B, H), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, B, H), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, B, H), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
+            jax.ShapeDtypeStruct((Tp, B, H), dt),
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), dt),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), dt),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw)
 
-    h_fw = hc_fw[:T, :, :H] * mask_fw[:, :, None]
-    h_bw = hc_bw[:T, :, :H] * mask_bw[:, :, None]
+    mask_fw_c = mask_fw[:, :, None].astype(dt)
+    mask_bw_c = mask_bw[:, :, None].astype(dt)
+    out = (h_fw[:T] * mask_fw_c, h_bw[:T] * mask_bw_c)
     residuals = (
         xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
-        hc_fw, hc_bw, T, bt,
+        h_fw, h_bw, c_fw, c_bw, T, bt,
     )
-    return (h_fw, h_bw), residuals
+    return out, residuals
 
 
 def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
     if interpret is None:
         interpret = not on_tpu()
     (xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
-     hc_fw, hc_bw, T, bt) = residuals
+     h_fw, h_bw, c_fw, c_bw, T, bt) = residuals
     g_fw, g_bw = g
-    Tp, B, H2 = hc_fw.shape
-    H = H2 // 2
+    Tp, B, H = h_fw.shape
     H4 = 4 * H
+    dt = xw_fw_p.dtype
     nb = Tp // bt
     pad = Tp - T
 
@@ -398,48 +435,54 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
 
     g_fw_p, g_bw_p = pad_t(g_fw), pad_t(g_bw)
 
-    def boundary(hc):
+    def boundary(a):
         return jnp.concatenate(
-            [jnp.zeros((1, B, H2), hc.dtype), hc[bt - 1 :: bt][: nb - 1]],
+            [jnp.zeros((1, B, H), a.dtype), a[bt - 1 :: bt][: nb - 1]],
             axis=0,
         )
 
-    bnd_fw, bnd_bw = boundary(hc_fw), boundary(hc_bw)
+    bhnd_fw, bhnd_bw = boundary(h_fw), boundary(h_bw)
+    bcnd_fw, bcnd_bw = boundary(c_fw), boundary(c_bw)
 
     rev = lambda j, nb=nb: (nb - 1 - j, 0, 0)
     rev2 = lambda j, nb=nb: (nb - 1 - j, 0)
+    blk3 = lambda shape: pl.BlockSpec(shape, rev, memory_space=pltpu.VMEM)
     dxw_fw, dxw_bw, dwh_fw, dwh_bw = pl.pallas_call(
         functools.partial(
             _bwd_train_kernel, block_t=bt, forget_bias=forget_bias
         ),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((bt, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H4), rev, memory_space=pltpu.VMEM),
+            blk3((bt, B, H4)),
+            blk3((bt, B, H4)),
             pl.BlockSpec((bt, B), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, B), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H2), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H2), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H2), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H2), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H), rev, memory_space=pltpu.VMEM),
+            blk3((bt, B, H)),
+            blk3((bt, B, H)),
+            blk3((bt, B, H)),
+            blk3((bt, B, H)),
+            blk3((1, B, H)),
+            blk3((1, B, H)),
+            blk3((1, B, H)),
+            blk3((1, B, H)),
+            blk3((bt, B, H)),
+            blk3((bt, B, H)),
         ],
         out_specs=[
-            pl.BlockSpec((bt, B, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, B, H4), rev, memory_space=pltpu.VMEM),
+            blk3((bt, B, H4)),
+            blk3((bt, B, H4)),
             pl.BlockSpec((H, H4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H4), dt),
+            jax.ShapeDtypeStruct((Tp, B, H4), dt),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
         ],
@@ -447,11 +490,13 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
-      hc_fw, hc_bw, bnd_fw, bnd_bw, g_fw_p, g_bw_p)
+      h_fw, h_bw, c_fw, c_bw, bhnd_fw, bhnd_bw, bcnd_fw, bcnd_bw,
+      g_fw_p, g_bw_p)
 
     zeros_mask = jnp.zeros((T, B), mask_fw_p.dtype)
     return (
-        dxw_fw[:T], dxw_bw[:T], zeros_mask, zeros_mask, dwh_fw, dwh_bw
+        dxw_fw[:T], dxw_bw[:T], zeros_mask, zeros_mask,
+        dwh_fw.astype(wh_fw.dtype), dwh_bw.astype(wh_bw.dtype),
     )
 
 
@@ -461,7 +506,7 @@ blstm_seq_fused.defvjp(_fused_fwd, _fused_bwd)
 def blstm_apply_fused(p, x, lengths, forget_bias=1.0, interpret=None,
                       block_t=32):
     """Trainable drop-in for models.core.blstm_apply via the fused
-    dual-direction kernels. x [B, T, D] -> [B, T, 2H]."""
+    dual-direction kernels. x [B, T, D] -> [B, T, 2H] in x's dtype."""
     B, T, _ = x.shape
     mask = (
         jnp.arange(T, dtype=lengths.dtype)[None, :] < lengths[:, None]

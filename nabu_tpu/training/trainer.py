@@ -196,24 +196,34 @@ class Trainer:
 
         from nabu_tpu.data.pipeline import prefetch
 
-        while not stop and step < self.num_steps:
-            for batch in prefetch(self.loader.epoch(epoch, shuffle=True)):
-                if skip > 0:
-                    skip -= 1
+        def device_stream(epoch_idx: int, skip_n: int):
+            """Sharded, device-resident batches; the (async) transfer of
+            batch N+1 runs in the prefetch thread while the device
+            executes step N."""
+            for i, batch in enumerate(
+                self.loader.epoch(epoch_idx, shuffle=True)
+            ):
+                if i < skip_n:
                     continue
+                arrays = mesh_lib.shard_batch(
+                    self.mesh, batch_to_arrays(batch)
+                )
+                yield arrays, batch.num_audio_frames
+
+        while not stop and step < self.num_steps:
+            for arrays, num_audio_frames in prefetch(
+                device_stream(epoch, skip)
+            ):
                 if step >= self.num_steps:
                     break
                 if self.profile_stop and step == self.profile_start:
                     jax.profiler.start_trace(f"{self.expdir}/profile")
-                arrays = mesh_lib.shard_batch(
-                    self.mesh, batch_to_arrays(batch)
-                )
                 rng = jax.random.fold_in(base_rng, step)
                 params, opt_state, metrics = self._train_step(
                     params, opt_state, arrays, rng,
                     jnp.float32(lr_scale),
                 )
-                frames_since_log += batch.num_audio_frames
+                frames_since_log += num_audio_frames
                 step += 1
                 if self.profile_stop and step == self.profile_stop:
                     jax.profiler.stop_trace()
@@ -300,6 +310,7 @@ class Trainer:
                             stop = True
                             break
             epoch += 1
+            skip = 0  # resume fast-forward applies to the first epoch only
 
         self._save_latest(
             params, opt_state, step, lr_scale, best_metric, tries
