@@ -41,6 +41,14 @@ from nabu_tpu.ops.pallas import on_tpu
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
+def _auto_block_t(block_t: int, T: int, B: int) -> int:
+    """Time-block size capped so per-block VMEM buffers stay bounded as
+    the batch grows (the [bt, B, 4H] blocks scale with B): keep
+    bt * B <= 1024 and bt a multiple of 8 (mask-block tiling)."""
+    bt = min(block_t, T, max(8, 1024 // max(B, 1)))
+    return max(8, (bt // 8) * 8) if T >= 8 else min(bt, T)
+
+
 def _cell(xw, h, c, wh, m, forget_bias, H):
     """One masked LSTM cell step; returns (h_out, h_next, c_next).
 
@@ -137,7 +145,7 @@ def blstm_fused_forward(
     mask_t = mask.swapaxes(0, 1)
     mask_rev_t = mask_rev.swapaxes(0, 1)
 
-    bt = min(block_t, T)
+    bt = _auto_block_t(block_t, T, B)
     pad = (-T) % bt
 
     def pad_t(a):
@@ -348,7 +356,7 @@ def _fused_fwd(xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
     T, B, H4 = xw_fw.shape
     H = H4 // 4
     dt = xw_fw.dtype
-    bt = min(block_t, T)
+    bt = _auto_block_t(block_t, T, B)
     pad = (-T) % bt
 
     def pad_t(a):
