@@ -124,3 +124,34 @@ def test_resume(trained_exp):
     r.trainer.write(os.path.join(recipe2, "trainer.cfg"))
     result = train_script.main(recipe2, expdir)
     assert result["step"] == 410
+
+
+def test_bf16_training_converges(tmp_path):
+    """bfloat16 compute (the TPU recipes' default) trains stably: same
+    config-1 pipeline with compute_dtype=bfloat16, loss must drop."""
+    corpus = {
+        "train": make_corpus(str(tmp_path / "train"), 32, seed=0),
+        "dev": make_corpus(str(tmp_path / "dev"), 8, seed=1),
+    }
+    recipe = str(tmp_path / "recipe")
+    model_cfg = MODEL_CFG.replace(
+        "[encoder]", "[model]\ncompute_dtype = bfloat16\n\n[encoder]"
+    )
+    trainer_cfg = TRAINER_CFG.replace(
+        "num_steps = 400", "num_steps = 60"
+    ).replace("valid_frequency = 100", "valid_frequency = 0")
+    write_recipe(recipe, corpus, model_cfg, trainer_cfg)
+    expdir = str(tmp_path / "exp")
+
+    from nabu_tpu.scripts import data as data_script
+    from nabu_tpu.scripts import train as train_script
+
+    data_script.main(recipe, expdir)
+    train_script.main(recipe, expdir)
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(expdir, "logs", "metrics.jsonl"))
+    ]
+    losses = [m["train/loss"] for m in lines if "train/loss" in m]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8
