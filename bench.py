@@ -27,22 +27,48 @@ sys.path.insert(0, ".")
 
 
 def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
-                         compute_dtype="float32"):
+                         compute_dtype="float32", arch="dblstm"):
     from nabu_tpu.config import Conf, ConfigFile
     from nabu_tpu.models.model import build_model
     from nabu_tpu.ops.losses import make_loss_computer
 
-    cfg = ConfigFile({
-        "model": Conf({"compute_dtype": compute_dtype}, "model"),
-        "encoder": Conf({
-            "encoder": "dblstm", "num_layers": "4", "num_units": "320",
-            "use_pallas": str(use_pallas_lstm).lower(),
-        }, "encoder"),
-        "decoder": Conf({
-            "decoder": "linear_ctc", "loss": "ctc",
-            "use_pallas": str(use_pallas_ctc).lower(),
-        }, "decoder"),
-    })
+    if arch == "las":
+        # BASELINE config 4/5 scale: 5-layer 512-unit listener, 2-layer
+        # speller, joint CTC/attention heads
+        cfg = ConfigFile({
+            "model": Conf({
+                "decoders": "att ctc", "compute_dtype": compute_dtype,
+            }, "model"),
+            "encoder": Conf({
+                "encoder": "listener", "num_layers": "4",
+                "num_units": "512",
+                "use_pallas": str(use_pallas_lstm).lower(),
+            }, "encoder"),
+            "att": Conf({
+                "decoder": "speller", "num_layers": "2",
+                "num_units": "512", "embed_dim": "256",
+                "sample_prob": "0.1", "label_smoothing": "0.1",
+                "loss": "cross_entropy", "loss_weight": "0.7",
+            }, "att"),
+            "ctc": Conf({
+                "decoder": "linear_ctc", "loss": "ctc",
+                "use_pallas": str(use_pallas_ctc).lower(),
+                "loss_weight": "0.3",
+            }, "ctc"),
+        })
+    else:
+        cfg = ConfigFile({
+            "model": Conf({"compute_dtype": compute_dtype}, "model"),
+            "encoder": Conf({
+                "encoder": "dblstm", "num_layers": "4",
+                "num_units": "320",
+                "use_pallas": str(use_pallas_lstm).lower(),
+            }, "encoder"),
+            "decoder": Conf({
+                "decoder": "linear_ctc", "loss": "ctc",
+                "use_pallas": str(use_pallas_ctc).lower(),
+            }, "decoder"),
+        })
     model = build_model(cfg, input_dim=80, num_labels=31)
     return model, make_loss_computer(model)
 
@@ -141,7 +167,8 @@ def naive_lstm_scan(p, x, lengths, reverse=False, forget_bias=1.0, unroll=1):
     return ys
 
 
-def time_decode(model, params, batch, beam_width, steps, repeats):
+def time_decode(model, params, batch, beam_width, steps, repeats,
+                head="decoder"):
     """Median decode RTF (processing time / audio time), CTC prefix
     beam search over the full batch inside jit."""
     import jax
@@ -154,8 +181,8 @@ def time_decode(model, params, batch, beam_width, steps, repeats):
 
     @jax.jit
     def decode(params, feats, flen):
-        outputs = model.apply(params, feats, flen)
-        logits, logit_lengths = outputs["decoder"]
+        outputs = model.apply(params, feats, flen, heads=[head])
+        logits, logit_lengths = outputs[head]
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         return ctc_prefix_beam_search(
             logprobs, logit_lengths, beam_width, logits.shape[-1] - 1,
@@ -181,6 +208,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["train", "decode"],
                         default="train")
+    parser.add_argument("--model", choices=["dblstm", "las"],
+                        default="dblstm",
+                        help="dblstm = BASELINE config 2 CTC workhorse; "
+                             "las = config 4/5 joint CTC/attention")
     parser.add_argument("--beam_width", type=int, default=8)
     parser.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu)")
@@ -217,14 +248,15 @@ def main():
 
     model, loss_fn = build_model_and_loss(
         args.pallas_lstm, args.pallas_ctc,
-        "bfloat16" if args.bf16 else "float32",
+        "bfloat16" if args.bf16 else "float32", args.model,
     )
     params = model.init(jax.random.PRNGKey(0))
 
     if args.mode == "decode":
+        head = "decoder" if "decoder" in model.decoders else "ctc"
         rtf = time_decode(
             model, params, batch, args.beam_width,
-            max(args.steps // 4, 1), args.repeats,
+            max(args.steps // 4, 1), args.repeats, head,
         )
         print(json.dumps({
             "metric": "ctc_beam_decode_rtf",
@@ -249,7 +281,7 @@ def main():
         # inside the scan, no Pallas kernels — what a line-for-line
         # translation of per-timestep cell math would run
         naive_model, naive_loss_fn = build_model_and_loss(
-            False, False, "float32"
+            False, False, "float32", args.model
         )
         naive_params = naive_model.init(jax.random.PRNGKey(0))
         orig = core.lstm_scan
