@@ -72,14 +72,25 @@ def dropout(key, x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
 
 # -- LSTM ------------------------------------------------------------------
 
-def lstm_init(key, in_dim: int, hidden: int) -> Params:
-    """One LSTM direction. Gate order along the 4H axis: i, f, g, o."""
+def lstm_init(
+    key, in_dim: int, hidden: int, layer_norm: bool = False
+) -> Params:
+    """One LSTM direction. Gate order along the 4H axis: i, f, g, o.
+
+    ``layer_norm=True`` adds the gains/biases of the layer-norm LSTM
+    variant (lstm_ln_cell)."""
     k1, k2 = jax.random.split(key)
-    return {
+    p = {
         "wx": glorot(k1, (in_dim, 4 * hidden)),
         "wh": glorot(k2, (hidden, 4 * hidden)),
         "b": jnp.zeros((4 * hidden,), jnp.float32),
     }
+    if layer_norm:
+        p["ln_x_g"] = jnp.ones((4 * hidden,), jnp.float32)
+        p["ln_h_g"] = jnp.ones((4 * hidden,), jnp.float32)
+        p["ln_c_g"] = jnp.ones((hidden,), jnp.float32)
+        p["ln_c_b"] = jnp.zeros((hidden,), jnp.float32)
+    return p
 
 
 def lstm_cell(
@@ -93,6 +104,35 @@ def lstm_cell(
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def layer_norm(
+    x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Layer norm over the last axis with learned gain (and bias)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps) * g
+    return y + b if b is not None else y
+
+
+def lstm_ln_cell(
+    xw_ln_t: jnp.ndarray,  # [B, 4H] layer-normed x projection (+ b)
+    h: jnp.ndarray,
+    c: jnp.ndarray,
+    p: Params,  # needs wh, ln_h_g, ln_c_g, ln_c_b
+    forget_bias: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Layer-norm LSTM cell (Ba et al. 2016): separate LN on the x and
+    h projections, LN on the cell state before the output tanh.
+    Reference capability: rnn_cell.py layer-norm wrappers."""
+    gates = xw_ln_t + layer_norm(h @ p["wh"], p["ln_h_g"])
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    c_out = layer_norm(c_new, p["ln_c_g"], p["ln_c_b"])
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_out)
     return h_new, c_new
 
 
@@ -120,15 +160,23 @@ def lstm_scan(
         x = jnp.flip(x, axis=1)
         mask = jnp.flip(mask, axis=1)
 
-    # one big MXU matmul for every timestep's input projection
-    xw = x @ p["wx"] + p["b"]  # [B, T, 4H]
+    # one big MXU matmul for every timestep's input projection; for the
+    # layer-norm variant its LN is also batched outside the recurrence
+    ln = "ln_x_g" in p
+    if ln:
+        xw = layer_norm(x @ p["wx"], p["ln_x_g"]) + p["b"]
+    else:
+        xw = x @ p["wx"] + p["b"]  # [B, T, 4H]
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H] time-major for scan
     mask_t = jnp.swapaxes(mask, 0, 1)[..., None]  # [T, B, 1]
 
     def step(carry, inp):
         h, c = carry
         xw_t, m = inp
-        h_new, c_new = lstm_cell(xw_t, h, c, p["wh"], forget_bias)
+        if ln:
+            h_new, c_new = lstm_ln_cell(xw_t, h, c, p, forget_bias)
+        else:
+            h_new, c_new = lstm_cell(xw_t, h, c, p["wh"], forget_bias)
         h = jnp.where(m, h_new, h)
         c = jnp.where(m, c_new, c)
         return (h, c), h * m
@@ -144,9 +192,14 @@ def lstm_scan(
     return ys
 
 
-def blstm_init(key, in_dim: int, hidden: int) -> Params:
+def blstm_init(
+    key, in_dim: int, hidden: int, layer_norm: bool = False
+) -> Params:
     kf, kb = jax.random.split(key)
-    return {"fw": lstm_init(kf, in_dim, hidden), "bw": lstm_init(kb, in_dim, hidden)}
+    return {
+        "fw": lstm_init(kf, in_dim, hidden, layer_norm),
+        "bw": lstm_init(kb, in_dim, hidden, layer_norm),
+    }
 
 
 def blstm_apply(
@@ -161,7 +214,9 @@ def blstm_apply(
     impl="pallas" runs the fused dual-direction Pallas kernel
     (nabu_tpu.ops.pallas.blstm) instead of the lax.scan cell.
     """
-    if impl == "pallas":
+    if impl == "pallas" and "ln_x_g" not in p["fw"]:
+        # the fused kernel has no layer-norm variant; LN falls back to
+        # the scan path
         from nabu_tpu.ops.pallas.blstm import blstm_apply_fused
 
         return blstm_apply_fused(p, x, lengths)

@@ -65,13 +65,16 @@ class DBLSTM(Encoder):
         self.dropout = conf.getfloat("dropout", 0.0)
         self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
         self.remat = conf.getbool("remat", False)
+        self.layer_norm = conf.getbool("layer_norm", False)
         self.output_dim = 2 * self.num_units
 
     def init(self, key) -> dict:
         params = {}
         in_dim = self.input_dim
         for i, k in enumerate(jax.random.split(key, self.num_layers)):
-            params[f"layer_{i}"] = core.blstm_init(k, in_dim, self.num_units)
+            params[f"layer_{i}"] = core.blstm_init(
+                k, in_dim, self.num_units, self.layer_norm
+            )
             in_dim = 2 * self.num_units
         return params
 
@@ -99,16 +102,19 @@ class Listener(Encoder):
         self.dropout = conf.getfloat("dropout", 0.0)
         self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
         self.remat = conf.getbool("remat", False)
+        self.layer_norm = conf.getbool("layer_norm", False)
         self.output_dim = 2 * self.num_units
 
     def init(self, key) -> dict:
         params = {}
         keys = jax.random.split(key, self.num_layers + 1)
-        params["bottom"] = core.blstm_init(keys[0], self.input_dim, self.num_units)
+        params["bottom"] = core.blstm_init(
+            keys[0], self.input_dim, self.num_units, self.layer_norm
+        )
         in_dim = 4 * self.num_units  # pyramid-stacked pairs of 2U outputs
         for i in range(self.num_layers):
             params[f"pyramid_{i}"] = core.blstm_init(
-                keys[i + 1], in_dim, self.num_units
+                keys[i + 1], in_dim, self.num_units, self.layer_norm
             )
         return params
 

@@ -297,3 +297,67 @@ class TestComputeOptions:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
+
+
+class TestLayerNormLSTM:
+    """Layer-norm LSTM cell variant (reference: rnn_cell.py layer-norm
+    wrappers)."""
+
+    def test_matches_manual_cell(self):
+        import jax
+
+        key = jax.random.PRNGKey(0)
+        p = core.lstm_init(key, 6, 5, layer_norm=True)
+        # non-trivial gains so LN params matter
+        p["ln_h_g"] = p["ln_h_g"] * 1.3
+        p["ln_c_b"] = p["ln_c_b"] + 0.1
+        x = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(1), (3, 4, 6))
+        )
+        lengths = jnp.asarray([4, 4, 4])
+        got = np.asarray(core.lstm_scan(p, jnp.asarray(x), lengths))
+
+        def ln(v, g, b=0.0):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) / np.sqrt(var + 1e-5) * np.asarray(g) + b
+
+        wx, wh, b = map(np.asarray, (p["wx"], p["wh"], p["b"]))
+        h = np.zeros((3, 5)); c = np.zeros((3, 5))
+        for t in range(4):
+            gates = ln(x[:, t] @ wx, p["ln_x_g"]) + b + ln(
+                h @ wh, p["ln_h_g"]
+            )
+            i, f, g, o = np.split(gates, 4, axis=-1)
+            sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+            c = sig(f + 1.0) * c + sig(i) * np.tanh(g)
+            c_out = ln(c, p["ln_c_g"], np.asarray(p["ln_c_b"]))
+            h = sig(o) * np.tanh(c_out)
+            np.testing.assert_allclose(got[:, t], h, rtol=2e-4, atol=2e-4)
+
+    def test_encoder_layer_norm_config(self):
+        import jax
+
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.encoders import build_encoder
+
+        enc = build_encoder(
+            Conf({"encoder": "dblstm", "num_layers": "2",
+                  "num_units": "8", "layer_norm": "true"}), 6
+        )
+        params = enc.init(jax.random.PRNGKey(0))
+        assert "ln_x_g" in params["layer_0"]["fw"]
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 5, 6)),
+            jnp.float32,
+        )
+        out, lens = enc.apply(params, x, jnp.asarray([5, 3]))
+        assert out.shape == (2, 5, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        # padding invariance still holds with LN
+        x2 = x.at[1, 3:].set(99.0)
+        out2, _ = enc.apply(params, x2, jnp.asarray([5, 3]))
+        np.testing.assert_allclose(
+            np.asarray(out[1, :3]), np.asarray(out2[1, :3]),
+            rtol=1e-5, atol=1e-5,
+        )
