@@ -204,6 +204,32 @@ def time_decode(model, params, batch, beam_width, steps, repeats,
     return sorted(rtfs)[len(rtfs) // 2]
 
 
+def time_attention_decode(model, params, batch, beam_width, steps,
+                          repeats):
+    """Median attention-beam-search decode RTF on the LAS att head."""
+    import jax.numpy as jnp
+
+    from nabu_tpu.config import Conf
+    from nabu_tpu.decoding.recognizers import AttentionBeamRecognizer
+
+    rec = AttentionBeamRecognizer(
+        Conf({"beam_width": str(beam_width)}, "recognizer"),
+        model, head="att",
+    )
+    feats = jnp.asarray(batch["features"])
+    flen = jnp.asarray(batch["feature_lengths"])
+
+    rec(params, feats, flen)
+    audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
+    rtfs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rec(params, feats, flen)
+        rtfs.append((time.perf_counter() - t0) / audio_s)
+    return sorted(rtfs)[len(rtfs) // 2]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["train", "decode"],
@@ -253,13 +279,21 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
 
     if args.mode == "decode":
-        head = "decoder" if "decoder" in model.decoders else "ctc"
-        rtf = time_decode(
-            model, params, batch, args.beam_width,
-            max(args.steps // 4, 1), args.repeats, head,
-        )
+        if args.model == "las":
+            rtf = time_attention_decode(
+                model, params, batch, args.beam_width,
+                max(args.steps // 4, 1), args.repeats,
+            )
+            metric = "attention_beam_decode_rtf"
+        else:
+            head = "decoder" if "decoder" in model.decoders else "ctc"
+            rtf = time_decode(
+                model, params, batch, args.beam_width,
+                max(args.steps // 4, 1), args.repeats, head,
+            )
+            metric = "ctc_beam_decode_rtf"
         print(json.dumps({
-            "metric": "ctc_beam_decode_rtf",
+            "metric": metric,
             "value": round(rtf, 5),
             "unit": "rtf",
             "vs_baseline": 1.0,

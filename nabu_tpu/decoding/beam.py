@@ -98,8 +98,9 @@ def attention_beam_search(
         new_state = jax.tree.map(
             lambda x: x.reshape((B, W) + x.shape[1:]), new_state
         )
+        # score in float32 regardless of the model compute dtype
         logprobs = jax.nn.log_softmax(
-            logits.reshape(B, W, V), axis=-1
+            logits.reshape(B, W, V).astype(jnp.float32), axis=-1
         )
         if eos_bonus:
             logprobs = logprobs.at[..., eos].add(eos_bonus)

@@ -115,7 +115,8 @@ class AttentionGreedyRecognizer(Recognizer):
         )
         B, T, _ = encoded.shape
         dec = self.decoder
-        dparams = params["decoders"][self.head]
+        # cast like Model.apply so step dtypes match the bf16 state
+        dparams = self.model._cast_in(params["decoders"][self.head])
         enc_mask = sequence_mask(enc_lengths, T)
         max_steps = self.max_steps or max(
             int(T * self.length_ratio), 8
@@ -127,7 +128,8 @@ class AttentionGreedyRecognizer(Recognizer):
                 dparams, prev, state, encoded, enc_mask
             )
             new_state.pop("attn_weights", None)
-            logprobs = jax.nn.log_softmax(logits, -1)
+            # score in float32 regardless of compute dtype
+            logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             nxt = jnp.argmax(logprobs, -1).astype(jnp.int32)
             step_score = jnp.take_along_axis(
                 logprobs, nxt[:, None], axis=1
@@ -141,7 +143,7 @@ class AttentionGreedyRecognizer(Recognizer):
             jnp.full((B,), dec.sos_id, jnp.int32),
             dec.init_state(B, encoded.dtype),
             jnp.zeros((B,), bool),
-            jnp.zeros((B,), encoded.dtype),
+            jnp.zeros((B,), jnp.float32),
         )
         (_, _, _, scores), ids = jax.lax.scan(
             step_fn, init, None, length=max_steps
@@ -196,7 +198,7 @@ class AttentionBeamRecognizer(Recognizer):
         )
         return attention_beam_search(
             self.decoder,
-            params["decoders"][self.head],
+            self.model._cast_in(params["decoders"][self.head]),
             encoded,
             enc_lengths,
             beam_width=self.beam_width,

@@ -313,3 +313,43 @@ class TestBeamRecognizers:
         for b in range(2):
             ids = out.ids[b, 0, : out.lengths[b, 0]]
             assert ((ids >= 0) & (ids < 4)).all()
+
+
+class TestBf16Decode:
+    """Regression: bf16 compute_dtype must not break the autoregressive
+    decoders (beam/greedy states mix model-cast and raw params)."""
+
+    def _model(self):
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+
+        cfg = ConfigFile({
+            "model": Conf({"compute_dtype": "bfloat16"}, "model"),
+            "encoder": Conf({
+                "encoder": "dnn", "num_layers": "1", "num_units": "16",
+            }, "encoder"),
+            "decoder": Conf({
+                "decoder": "speller", "num_layers": "1",
+                "num_units": "16", "embed_dim": "8",
+            }, "decoder"),
+        })
+        return build_model(cfg, input_dim=6, num_labels=5)
+
+    @pytest.mark.parametrize("recog", ["attention_beam", "attention_greedy"])
+    def test_decodes_finite(self, recog):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.decoding.recognizers import build_recognizer
+
+        model = self._model()
+        params = model.init(jax.random.PRNGKey(0))
+        rec = build_recognizer(
+            Conf({"recognizer": recog, "beam_width": "3",
+                  "max_steps": "7"}, "recognizer"),
+            model,
+        )
+        feats = np.random.default_rng(0).standard_normal(
+            (2, 9, 6)
+        ).astype(np.float32)
+        out = rec(params, feats, np.asarray([9, 5], np.int32))
+        assert out.ids.shape[0] == 2
+        assert np.isfinite(out.scores).all()
