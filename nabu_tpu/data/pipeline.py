@@ -278,6 +278,9 @@ def prefetch(
     sentinel = object()
 
     def producer():
+        # a producer exception must reach the consumer: swallowing it
+        # would make the training loop see an empty epoch and spin
+        # forever re-opening the stream
         try:
             for item in iterator:
                 if to_device:
@@ -289,8 +292,9 @@ def prefetch(
                         item,
                     )
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -298,6 +302,8 @@ def prefetch(
         item = q.get()
         if item is sentinel:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

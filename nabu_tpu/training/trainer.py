@@ -96,10 +96,20 @@ class Trainer:
         self.valid_fn = valid_fn
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
 
+        # synchronous gradient aggregation over k consecutive batches
+        # before one optimizer step (the reference's SyncReplicasOptimizer
+        # numbatches_to_aggregate in nabu/neuralnetworks/trainers/
+        # trainer.py). Here it is plain on-device gradient accumulation:
+        # the data-parallel psum is already synchronous, so aggregation
+        # only scales the effective batch.
+        self.num_aggregate = max(1, conf.getint("numbatches_to_aggregate", 1))
+
         self.num_steps = conf.getint("num_steps", 0)
         if not self.num_steps:
             epochs = conf.getint("num_epochs", 10)
-            self.num_steps = epochs * max(loader.num_batches(), 1)
+            self.num_steps = epochs * max(
+                loader.num_batches() // self.num_aggregate, 1
+            )
         self.valid_frequency = conf.getint("valid_frequency", 0)
         self.log_frequency = conf.getint("log_frequency", 10)
         self.ckpt_frequency = conf.getint("ckpt_frequency", 0)
@@ -129,6 +139,15 @@ class Trainer:
         )
 
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+        # aggregation path (num_aggregate > 1): grads-only step per
+        # micro-batch (one compile per bucket shape, like _train_step),
+        # on-device tree accumulation, and one shape-independent apply
+        self._grad_step = jax.jit(self._grad_impl)
+        self._accum_add = jax.jit(
+            lambda acc, g: jax.tree.map(jnp.add, acc, g),
+            donate_argnums=(0,),
+        )
+        self._apply_step = jax.jit(self._apply_impl, donate_argnums=(0, 1, 2))
 
     # -- one optimizer step ----------------------------------------------
     def _step_impl(self, params, opt_state, batch, rng, lr_scale):
@@ -140,6 +159,21 @@ class Trainer:
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
+
+    def _grad_impl(self, params, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True
+        )(params, batch, rng, True)
+        return grads, metrics
+
+    def _apply_impl(self, params, opt_state, grads, lr_scale):
+        # average (not sum) over the aggregated batches — same semantics
+        # as the reference's synchronous replica aggregation
+        grads = jax.tree.map(lambda g: g / self.num_aggregate, grads)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, optax.global_norm(grads)
 
     # -- state helpers ---------------------------------------------------
     def init_state(self, rng_seed: int = 0) -> Dict:
@@ -187,9 +221,16 @@ class Trainer:
         tries = int(state["tries"])
         base_rng = jax.random.PRNGKey(1234 + rng_seed)
 
-        epoch_size = max(self.loader.num_batches(), 1)
+        # epoch_size counts optimizer steps; the resume fast-forward skip
+        # is in batches (num_aggregate batches per optimizer step)
+        epoch_size = max(
+            self.loader.num_batches() // self.num_aggregate, 1
+        )
         epoch = step // epoch_size
-        skip = step % epoch_size
+        skip = (step % epoch_size) * self.num_aggregate
+        accum = None  # pending gradient sum (num_aggregate > 1)
+        msum = None  # pending metric sums
+        micro = 0  # micro-batches accumulated so far
         stop = False
         t_last = time.time()
         frames_since_log = 0
@@ -216,14 +257,40 @@ class Trainer:
             ):
                 if step >= self.num_steps:
                     break
-                if self.profile_stop and step == self.profile_start:
+                if (
+                    self.profile_stop
+                    and step == self.profile_start
+                    and micro == 0
+                ):
                     jax.profiler.start_trace(f"{self.expdir}/profile")
-                rng = jax.random.fold_in(base_rng, step)
-                params, opt_state, metrics = self._train_step(
-                    params, opt_state, arrays, rng,
-                    jnp.float32(lr_scale),
-                )
                 frames_since_log += num_audio_frames
+                if self.num_aggregate == 1:
+                    rng = jax.random.fold_in(base_rng, step)
+                    params, opt_state, metrics = self._train_step(
+                        params, opt_state, arrays, rng,
+                        jnp.float32(lr_scale),
+                    )
+                else:
+                    rng = jax.random.fold_in(
+                        base_rng, step * self.num_aggregate + micro
+                    )
+                    grads, gmetrics = self._grad_step(params, arrays, rng)
+                    if accum is None:
+                        accum, msum = grads, gmetrics
+                    else:
+                        accum = self._accum_add(accum, grads)
+                        msum = jax.tree.map(jnp.add, msum, gmetrics)
+                    micro += 1
+                    if micro < self.num_aggregate:
+                        continue
+                    params, opt_state, gnorm = self._apply_step(
+                        params, opt_state, accum, jnp.float32(lr_scale)
+                    )
+                    metrics = jax.tree.map(
+                        lambda v: v / self.num_aggregate, msum
+                    )
+                    metrics["grad_norm"] = gnorm
+                    accum, msum, micro = None, None, 0
                 step += 1
                 if self.profile_stop and step == self.profile_stop:
                     jax.profiler.stop_trace()

@@ -1,0 +1,106 @@
+"""Trainer unit tests: synchronous gradient aggregation
+(numbatches_to_aggregate — the reference's SyncReplicasOptimizer
+capability in nabu/neuralnetworks/trainers/trainer.py)."""
+
+import numpy as np
+import pytest
+
+
+def _make_loader(tmp_path, n=8):
+    """Loader whose every batch is identical (all utterances equal)."""
+    from nabu_tpu.data.pipeline import BucketedLoader
+    from nabu_tpu.data.storage import ShardWriter, ShardedDataset
+
+    rng = np.random.default_rng(7)
+    feat = rng.standard_normal((12, 6)).astype(np.float32)
+    tgt = rng.integers(0, 4, 3).astype(np.int32)
+    fw = ShardWriter(str(tmp_path / "f"))
+    tw = ShardWriter(str(tmp_path / "t"))
+    for i in range(n):
+        fw.write(f"u{i}", feat)
+        tw.write(f"u{i}", tgt)
+    fw.close()
+    tw.close({"num_labels": 4})
+    return BucketedLoader(
+        ShardedDataset(str(tmp_path / "f")),
+        ShardedDataset(str(tmp_path / "t")),
+        batch_size=4,
+        num_buckets=1,
+    )
+
+
+def _train_one(tmp_path, name, aggregate):
+    import jax
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    model = build_model(cfg, 6, 4)
+    tconf = Conf({
+        "num_steps": "1",
+        "numbatches_to_aggregate": str(aggregate),
+        "log_frequency": "1",
+        "learning_rate": "1e-2",
+    }, "trainer")
+    from nabu_tpu.parallel import mesh as mesh_lib
+
+    loader = _make_loader(tmp_path / name)
+    # batch of 4 is not divisible over the 8-device test mesh: run on a
+    # single-device mesh (sharding equivalence is tests/test_parallel.py)
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+    trainer = Trainer(tconf, model, loader, str(tmp_path / f"exp_{name}"),
+                      mesh=mesh)
+    result = trainer.train(rng_seed=0)
+    return jax.device_get(result["params"]), result
+
+
+def test_aggregate_identical_batches_matches_plain_step(tmp_path):
+    """Averaging grads over 2 identical micro-batches == one plain step."""
+    import jax
+
+    p_plain, r_plain = _train_one(tmp_path, "plain", aggregate=1)
+    p_agg, r_agg = _train_one(tmp_path, "agg", aggregate=2)
+    assert r_plain["step"] == 1 and r_agg["step"] == 1
+    flat_p, _ = jax.tree_util.tree_flatten(p_plain)
+    flat_a, _ = jax.tree_util.tree_flatten(p_agg)
+    assert len(flat_p) == len(flat_a)
+    for a, b in zip(flat_p, flat_a):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_aggregate_metrics_logged(tmp_path):
+    """With aggregation, one metrics entry per optimizer step and the
+    logged loss is the micro-batch mean."""
+    import json
+    import os
+
+    _, result = _train_one(tmp_path, "metrics", aggregate=2)
+    logs = os.path.join(str(tmp_path / "exp_metrics"), "logs",
+                        "metrics.jsonl")
+    lines = [json.loads(l) for l in open(logs)]
+    steps = [l["step"] for l in lines if "train/loss" in l]
+    assert steps == [1]
+    loss = [l["train/loss"] for l in lines if "train/loss" in l][0]
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_prefetch_propagates_producer_errors():
+    """An exception in the prefetch producer thread must surface in the
+    consumer (a swallowed error would make the train loop see an empty
+    epoch and spin forever)."""
+    from nabu_tpu.data.pipeline import prefetch
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
