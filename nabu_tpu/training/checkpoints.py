@@ -32,13 +32,51 @@ def _is_scalar(value) -> bool:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    """``use_async=True`` backgrounds the disk write (orbax
+    AsyncCheckpointer): ``save`` returns after the host-side copy and
+    training proceeds while the write completes; the atomic rename into
+    place is deferred to the next checkpoint operation (or an explicit
+    ``wait_until_finished``). The reference's tf.train.Saver always
+    blocked the session — SURVEY.md §5 names async checkpointing as
+    this framework's recovery-story upgrade."""
+
+    def __init__(self, directory: str, use_async: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._use_async = use_async
+        self._async_ckptr = (
+            ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+            if use_async
+            else None
+        )
+        self._pending = None  # (tmp, path, name) of an in-flight save
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
+
+    def _barrier(self, tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    def _finalize_pending(self) -> None:
+        """Wait for an in-flight async save and atomically publish it."""
+        if self._pending is None:
+            return
+        tmp, path, name = self._pending
+        self._pending = None
+        self._async_ckptr.wait_until_finished()
+        if jax.process_index() == 0:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+        self._barrier(f"ckpt_post_{name}")
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save is durable and visible."""
+        self._finalize_pending()
 
     def save(self, name: str, state: Dict[str, Any]) -> None:
         """Atomically save a dict of pytrees, one sub-checkpoint per key.
@@ -50,35 +88,43 @@ class CheckpointManager:
         (shared-filesystem expdir assumed, as with the reference's
         shared expdir contract).
         """
-        multihost = jax.process_count() > 1
+        self._finalize_pending()
         primary = jax.process_index() == 0
         path = self._path(name)
         tmp = path + ".tmp"
         if primary and os.path.exists(tmp):
             shutil.rmtree(tmp)
-        if multihost:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"ckpt_pre_{name}")
-        for key, value in state.items():
-            # wrap scalars so every sub-checkpoint is a pytree of arrays
-            tree = {"value": np.asarray(value)} if _is_scalar(value) else value
+        self._barrier(f"ckpt_pre_{name}")
+        # wrap scalars so every sub-checkpoint is a pytree of arrays
+        trees = {
+            key: {"value": np.asarray(v)} if _is_scalar(v) else v
+            for key, v in state.items()
+        }
+        if self._use_async:
+            self._async_ckptr.save(
+                tmp,
+                args=ocp.args.Composite(**{
+                    k: ocp.args.StandardSave(t) for k, t in trees.items()
+                }),
+            )
+            self._pending = (tmp, path, name)
+            return
+        for key, tree in trees.items():
             self._ckptr.save(os.path.join(tmp, key), tree)
         self._ckptr.wait_until_finished()
         if primary:
             if os.path.exists(path):
                 shutil.rmtree(path)
             os.replace(tmp, path)
-        if multihost:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"ckpt_post_{name}")
+        self._barrier(f"ckpt_post_{name}")
 
     def exists(self, name: str) -> bool:
+        self._finalize_pending()
         return os.path.isdir(self._path(name))
 
     def restore(self, name: str, template: Dict[str, Any]) -> Dict[str, Any]:
         """Restore the keys present in ``template`` (partial by design)."""
+        self._finalize_pending()
         out = {}
         for key, value in template.items():
             sub = os.path.join(self._path(name), key)

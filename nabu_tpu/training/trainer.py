@@ -133,7 +133,13 @@ class Trainer:
         # contract); every host still computes validation so early-stop
         # decisions stay identical across processes
         self.is_chief = jax.process_index() == 0
-        self.ckpt = CheckpointManager(f"{expdir}/checkpoints")
+        # async_checkpoint = true backgrounds the rolling "latest" disk
+        # write so the step loop never stalls on IO (finalized before
+        # any restore/exists and at the end of training)
+        self.ckpt = CheckpointManager(
+            f"{expdir}/checkpoints",
+            use_async=conf.getbool("async_checkpoint", False),
+        )
         self.writer = (
             MetricWriter(f"{expdir}/logs") if self.is_chief else None
         )
@@ -304,6 +310,7 @@ class Trainer:
                             params, opt_state, step, lr_scale,
                             best_metric, tries,
                         )
+                        self.ckpt.wait_until_finished()
                         raise FloatingPointError(
                             f"non-finite loss {metrics['loss']} at step "
                             f"{step}; state saved to {self.expdir}"
@@ -394,6 +401,7 @@ class Trainer:
                     "metric": np.float32(np.inf),
                 }
             )
+        self.ckpt.wait_until_finished()
         if self.writer:
             self.writer.close()
         return {

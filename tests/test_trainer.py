@@ -104,3 +104,69 @@ def test_prefetch_propagates_producer_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async save returns immediately; the checkpoint is finalized and
+    readable at the next checkpoint operation (exists/restore)."""
+    import numpy as np
+
+    from nabu_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), use_async=True)
+    state = {
+        "params": {"w": np.arange(12.0).reshape(3, 4)},
+        "step": np.int64(7),
+    }
+    mgr.save_latest(state)
+    # second save must finalize the first before reusing the tmp dir
+    state2 = {
+        "params": {"w": 2.0 * np.arange(12.0).reshape(3, 4)},
+        "step": np.int64(9),
+    }
+    mgr.save_latest(state2)
+    assert mgr.exists("latest")
+    out = mgr.restore(
+        "latest", {"params": {"w": np.zeros((3, 4))}, "step": np.int64(0)}
+    )
+    np.testing.assert_allclose(out["params"]["w"], state2["params"]["w"])
+    assert int(out["step"]) == 9
+    mgr.wait_until_finished()
+
+
+def test_trainer_async_checkpoint_resume(tmp_path):
+    """Training with async_checkpoint=true leaves a durable 'latest'
+    that a resumed run continues from."""
+    import jax
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.parallel import mesh as mesh_lib
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+    loader = _make_loader(tmp_path / "d")
+    expdir = str(tmp_path / "exp")
+
+    def run(num_steps, resume):
+        tconf = Conf({
+            "num_steps": str(num_steps),
+            "log_frequency": "1",
+            "ckpt_frequency": "1",
+            "async_checkpoint": "true",
+            "resume": str(resume).lower(),
+            "learning_rate": "1e-2",
+        }, "trainer")
+        model = build_model(cfg, 6, 4)
+        t = Trainer(tconf, model, loader, expdir, mesh=mesh)
+        return t.train(rng_seed=0)
+
+    r1 = run(2, resume=False)
+    assert r1["step"] == 2
+    r2 = run(4, resume=True)
+    assert r2["step"] == 4  # continued from step 2, not from scratch
