@@ -36,6 +36,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--process_id", type=int, default=None)
     sp.add_argument("--num_model_parallel", type=int, default=1,
                     help="model-axis mesh size (GSPMD sharding)")
+    sp.add_argument("--computing", default="local",
+                    choices=["local", "ssh", "condor"],
+                    help="where the processes run (the reference's "
+                         "--computing=standard|static|condor)")
+    sp.add_argument("--computing_conf", default=None,
+                    help="INI file with a [computing] section "
+                         "(see config/computing/)")
+
+    sp = sub.add_parser(
+        "kill", help="stop a cluster run launched with --computing"
+    )
+    sp.add_argument("--expdir", required=True)
+    sp.add_argument("--computing", required=True, choices=["ssh", "condor"])
+    sp.add_argument("--computing_conf", default=None)
 
     sp = sub.add_parser("test", help="score the trained model")
     common(sp)
@@ -47,6 +61,87 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--sweep", required=True, help="sweep file")
     return p
+
+
+def _computing_conf(path):
+    """[computing] section of an INI file (config/computing/*.cfg)."""
+    from nabu_tpu.config import Conf, ConfigFile
+
+    if path is None:
+        return Conf({}, "computing")
+    return ConfigFile.read(path).section("computing")
+
+
+def _launch_cluster(args) -> int:
+    """`run train --computing=ssh|condor`: launch one `run train
+    --distributed` process per cluster node (the reference's
+    multi_machine mode; SURVEY.md §5 distributed backend — deployment is
+    one identical process per host, no parameter servers)."""
+    import os
+
+    conf = _computing_conf(args.computing_conf)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(args.expdir, exist_ok=True)
+    extra = (
+        f"--num_model_parallel={args.num_model_parallel}"
+        if args.num_model_parallel != 1 else ""
+    )
+    if args.computing == "ssh":
+        from nabu_tpu.computing import ssh_cluster
+
+        cluster_file = conf.get("cluster_file")
+        if not cluster_file:
+            raise SystemExit(
+                "--computing=ssh needs cluster_file in --computing_conf"
+            )
+        procs = ssh_cluster.launch(
+            cluster_file, args.recipe, args.expdir, repo,
+            coordinator_port=conf.getint("port", 29500),
+            extra_args=extra,
+        )
+        for proc in procs:
+            proc.wait()
+        return max((p.returncode or 0) for p in procs)
+    from nabu_tpu.computing import condor
+
+    num_processes = conf.getint("num_processes", args.num_processes or 0)
+    coordinator_host = conf.get("coordinator_host")
+    if not num_processes or not coordinator_host:
+        raise SystemExit(
+            "--computing=condor needs num_processes and coordinator_host "
+            "in --computing_conf"
+        )
+    jobids = condor.launch(
+        args.expdir, args.recipe, repo, num_processes, coordinator_host,
+        coordinator_port=conf.getint("port", 29500),
+        dry_run=conf.getbool("dry_run", False),
+        request_cpus=conf.getint("request_cpus", 4),
+        request_memory=conf.get("request_memory", "8G"),
+        requirements=conf.get("requirements", ""),
+        extra_args=extra,
+    )
+    print("submitted:", " ".join(jobids) if jobids else "(dry run)")
+    return 0
+
+
+def _kill_cluster(args) -> int:
+    """`run kill`: stop a cluster run (pid-/jobid-exact, never by
+    pattern — the reference's kill_processes.sh / condor_rm)."""
+    if args.computing == "ssh":
+        from nabu_tpu.computing import ssh_cluster
+
+        conf = _computing_conf(args.computing_conf)
+        cluster_file = conf.get("cluster_file")
+        if not cluster_file:
+            raise SystemExit(
+                "--computing=ssh needs cluster_file in --computing_conf"
+            )
+        ssh_cluster.kill(cluster_file)
+    else:
+        from nabu_tpu.computing import condor
+
+        condor.remove(args.expdir)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -64,6 +159,8 @@ def main(argv=None) -> int:
 
         data.main(args.recipe, args.expdir, args.num_workers)
     elif args.command == "train":
+        if args.computing != "local":
+            return _launch_cluster(args)
         from nabu_tpu.scripts import train
 
         train.main(
@@ -75,6 +172,8 @@ def main(argv=None) -> int:
             process_id=args.process_id,
             num_model_parallel=args.num_model_parallel,
         )
+    elif args.command == "kill":
+        return _kill_cluster(args)
     elif args.command == "test":
         from nabu_tpu.scripts import test
 

@@ -101,3 +101,82 @@ def test_cli_parser():
     assert args.command == "train" and args.num_model_parallel == 2
     with pytest.raises(SystemExit):
         p.parse_args(["train"])  # missing required args
+
+
+def test_train_computing_condor_dry_run(tmp_path):
+    """`run train --computing=condor` writes one submit description per
+    process (the reference's --computing=condor multi_machine mode)."""
+    from nabu_tpu.cli import main
+
+    conf = tmp_path / "condor.cfg"
+    conf.write_text(
+        "[computing]\nnum_processes = 3\ncoordinator_host = head\n"
+        "dry_run = true\nrequest_cpus = 2\n"
+    )
+    expdir = str(tmp_path / "exp")
+    rc = main([
+        "train", "--recipe=/r", f"--expdir={expdir}",
+        "--computing=condor", f"--computing_conf={conf}",
+    ])
+    assert rc == 0
+    jobs = sorted(os.listdir(os.path.join(expdir, "condor")))
+    assert jobs == ["proc_0.job", "proc_1.job", "proc_2.job"]
+    text = open(os.path.join(expdir, "condor", "proc_2.job")).read()
+    assert "--process_id=2" in text and "--coordinator=head:29500" in text
+
+
+def test_train_computing_ssh_stub(tmp_path, monkeypatch):
+    """`run train --computing=ssh` launches one remote process per host
+    of the machine list (stub ssh records the invocations)."""
+    import stat
+
+    from nabu_tpu.cli import main
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    ssh = bindir / "ssh"
+    ssh.write_text(f'#!/bin/sh\necho "$@" >> {tmp_path}/ssh_calls\n')
+    ssh.chmod(ssh.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    machines = tmp_path / "machines.txt"
+    machines.write_text("host-a\nhost-b\n")
+    conf = tmp_path / "ssh.cfg"
+    conf.write_text(f"[computing]\ncluster_file = {machines}\nport = 1234\n")
+    expdir = str(tmp_path / "exp")
+    rc = main([
+        "train", "--recipe=/r", f"--expdir={expdir}",
+        "--computing=ssh", f"--computing_conf={conf}",
+    ])
+    assert rc == 0
+    calls = open(tmp_path / "ssh_calls").read().strip().splitlines()
+    assert len(calls) == 2
+    assert "host-a" in calls[0] and "--process_id=0" in calls[0]
+    assert "host-b" in calls[1] and "--process_id=1" in calls[1]
+    assert "--coordinator=host-a:1234" in calls[1]
+
+
+def test_kill_computing_ssh_stub(tmp_path, monkeypatch):
+    """`run kill --computing=ssh` kills by recorded pidfile, per host."""
+    import stat
+
+    from nabu_tpu.cli import main
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    ssh = bindir / "ssh"
+    ssh.write_text(f'#!/bin/sh\necho "$@" >> {tmp_path}/ssh_calls\n')
+    ssh.chmod(ssh.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    machines = tmp_path / "machines.txt"
+    machines.write_text("host-a\nhost-b\n")
+    conf = tmp_path / "ssh.cfg"
+    conf.write_text(f"[computing]\ncluster_file = {machines}\n")
+    rc = main([
+        "kill", "--expdir=/e", "--computing=ssh",
+        f"--computing_conf={conf}",
+    ])
+    assert rc == 0
+    calls = open(tmp_path / "ssh_calls").read()
+    assert calls.count("kill $(cat") == 2
