@@ -35,11 +35,15 @@ class Model:
         decoders: Dict[str, Decoder],
         head_confs: Dict[str, Conf],
         compute_dtype: str = "float32",
+        spec_augment: Optional[dict] = None,
     ):
         self.encoder = encoder
         self.decoders = decoders
         self.head_confs = head_confs
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # SpecAugment params ([model] spec_augment = true; beyond-parity
+        # — see ops/augment.py), applied in-graph at train time only
+        self.spec_augment = spec_augment
 
     def _cast_in(self, tree):
         if self.compute_dtype == jnp.float32:
@@ -97,7 +101,15 @@ class Model:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         params = self._cast_in(params)
-        rng_enc, rng_dec = jax.random.split(rng)
+        rng_aug, rng_enc, rng_dec = jax.random.split(rng, 3)
+        if train and self.spec_augment is not None:
+            from nabu_tpu.ops.augment import spec_augment
+
+            with jax.named_scope("spec_augment"):
+                features = spec_augment(
+                    rng_aug, features, feature_lengths,
+                    **self.spec_augment,
+                )
         encoded, enc_lengths = self.encode(
             params, features, feature_lengths, train=train, rng=rng_enc
         )
@@ -144,10 +156,15 @@ def build_model(model_cfg: ConfigFile, input_dim: int, num_labels: int) -> Model
         else "float32"
     )
 
+    from nabu_tpu.ops.augment import parse_spec_augment_conf
+
     decoders: Dict[str, Decoder] = {}
     head_confs: Dict[str, Conf] = {}
     for name in head_names:
         conf = model_cfg.section(name)
         decoders[name] = build_decoder(conf, encoder.output_dim, num_labels)
         head_confs[name] = conf
-    return Model(encoder, decoders, head_confs, compute_dtype)
+    return Model(
+        encoder, decoders, head_confs, compute_dtype,
+        spec_augment=parse_spec_augment_conf(model_section),
+    )
