@@ -170,3 +170,54 @@ def test_trainer_async_checkpoint_resume(tmp_path):
     assert r1["step"] == 2
     r2 = run(4, resume=True)
     assert r2["step"] == 4  # continued from step 2, not from scratch
+
+
+def test_early_stopping_backoff_and_restore(tmp_path):
+    """Reference parity (nabu trainer retry loop): each validation
+    without improvement restores the best checkpoint, backs off the LR
+    by lr_backoff_factor, and training stops after num_tries."""
+    import jax
+    import numpy as np
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.parallel import mesh as mesh_lib
+    from nabu_tpu.training.checkpoints import CheckpointManager
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    model = build_model(cfg, 6, 4)
+    tconf = Conf({
+        "num_steps": "100",
+        "valid_frequency": "1",
+        "num_tries": "2",
+        "lr_backoff_factor": "0.5",
+        "log_frequency": "1",
+        "learning_rate": "1e-2",
+    }, "trainer")
+    metrics = iter([1.0, 2.0, 3.0, 4.0, 5.0])  # worsens after the first
+
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+    expdir = str(tmp_path / "exp")
+    trainer = Trainer(
+        tconf, model, _make_loader(tmp_path / "d"), expdir,
+        valid_fn=lambda params: next(metrics), mesh=mesh,
+    )
+    result = trainer.train(rng_seed=0)
+
+    assert result["stopped_early"] is True
+    assert result["best_metric"] == 1.0
+    assert result["step"] == 3  # best at 1, two failed tries, stop
+
+    ck = CheckpointManager(f"{expdir}/checkpoints")
+    best = ck.restore("best", {"metric": np.float32(0),
+                               "step": np.int64(0)})
+    assert float(best["metric"]) == 1.0 and int(best["step"]) == 1
+    latest = ck.restore("latest", {"lr_scale": np.float32(0),
+                                   "tries": np.int64(0)})
+    assert float(latest["lr_scale"]) == 0.25  # two backoffs of 0.5
+    assert int(latest["tries"]) == 2
