@@ -39,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 from nabu_tpu.ops.pallas import on_tpu
 
 _VMEM_LIMIT = 100 * 1024 * 1024
+# measured crossover: below this batch, hoisting the dwh accumulation
+# out of the backward kernel wins (small-M weight streaming dominates
+# the in-loop matmul); at/above it, in-kernel accumulation wins (M
+# fills the MXU and the hoist's extra HBM pass over h costs more)
+_DWH_ACCUM_BATCH = 128
 
 
 def _auto_block_t(block_t: int, T: int, B: int) -> int:
@@ -263,23 +268,36 @@ def _bwd_train_kernel(
     bcnd_fw_ref, bcnd_bw_ref,  # [1, B, H] block entry c carries
     g_fw_ref, g_bw_ref,  # [BT, B, H] cotangents of masked outputs
     dxw_fw_ref, dxw_bw_ref,  # out [BT, B, 4H] compute dtype
-    dwh_fw_ref, dwh_bw_ref,  # out [H, 4H] f32 accumulated
-    dhf_s, dcf_s, dhb_s, dcb_s,
-    *,
+    *rest,  # [dwh_fw_ref, dwh_bw_ref (iff accum_dwh),] 4 scratches
     block_t: int,
     forget_bias: float,
+    accum_dwh: bool,
 ):
+    """Per step per direction: the gate recompute (off the serial chain
+    — pipelines ahead, and rematerializing gates from the bf16 xw
+    stream is cheaper than streaming f32 preactivations from HBM) and
+    the chain matmul dgates @ wh.T. The dwh accumulation runs in-kernel
+    only when ``accum_dwh`` (large batch: M fills the MXU anyway);
+    otherwise it is hoisted OUT of the kernel into one
+    full-utilization matmul over all timesteps (see _fused_bwd)."""
+    if accum_dwh:
+        dwh_fw_ref, dwh_bw_ref, dhf_s, dcf_s, dhb_s, dcb_s = rest
+    else:
+        dwh_fw_ref = dwh_bw_ref = None
+        dhf_s, dcf_s, dhb_s, dcb_s = rest
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         dhf_s[:] = jnp.zeros_like(dhf_s)
         dcf_s[:] = jnp.zeros_like(dcf_s)
         dhb_s[:] = jnp.zeros_like(dhb_s)
         dcb_s[:] = jnp.zeros_like(dcb_s)
-        dwh_fw_ref[:] = jnp.zeros_like(dwh_fw_ref)
-        dwh_bw_ref[:] = jnp.zeros_like(dwh_bw_ref)
+        if accum_dwh:
+            dwh_fw_ref[:] = jnp.zeros_like(dwh_fw_ref)
+            dwh_bw_ref[:] = jnp.zeros_like(dwh_bw_ref)
 
     H = wh_fw_ref.shape[0]
-    cdt = h_fw_ref.dtype
+    cdt = dxw_fw_ref.dtype
 
     def direction(i, xw_ref, mask_ref, wh_ref, h_ref, c_ref, bhnd_ref,
                   bcnd_ref, g_ref, dxw_ref, dwh_ref, dh_s, dc_s):
@@ -308,9 +326,10 @@ def _bwd_train_kernel(
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
         dgates_c = dgates.astype(cdt)
         dxw_ref[i] = dgates_c
-        dwh_ref[:] += jnp.dot(
-            h_prev.T, dgates_c, preferred_element_type=jnp.float32
-        )
+        if dwh_ref is not None:
+            dwh_ref[:] += jnp.dot(
+                h_prev.T, dgates_c, preferred_element_type=jnp.float32
+            )
         dh_prev = jnp.dot(
             dgates_c, wh_ref[:].T, preferred_element_type=jnp.float32
         )
@@ -425,6 +444,23 @@ def _fused_fwd(xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
 
 
 def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
+    """Backward: the serial-chain matmul (dgates @ wh.T) and the gate
+    recompute run per timestep inside the kernel. Below the measured
+    crossover batch (B < _DWH_ACCUM_BATCH) the dwh accumulation is
+    hoisted into ONE large MXU op over all timesteps, where M = T*B
+    instead of B (full utilization instead of per-step small-M weight
+    streaming; +16% step throughput at B=32):
+
+      dwh = sum_t h[t-1].T @ dgates[t]   (one [H,T*B]x[T*B,4H] matmul)
+
+    Exact: dgates is zero at masked/padded steps (dh_new and dc_new are
+    mask-gated in-kernel), so the padded-tail terms of the hoisted sum
+    vanish. At large batch M already fills the MXU and the hoist's
+    extra HBM pass over h costs more than it saves, so the accumulation
+    stays in-kernel. Hoisting the gate recompute too was measured
+    slower at every batch: streaming precomputed f32 preactivations
+    from HBM costs more than recomputing them from the bf16 xw
+    stream."""
     if interpret is None:
         interpret = not on_tpu()
     (xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
@@ -452,12 +488,16 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
     bhnd_fw, bhnd_bw = boundary(h_fw), boundary(h_bw)
     bcnd_fw, bcnd_bw = boundary(c_fw), boundary(c_bw)
 
+    accum_dwh = B >= _DWH_ACCUM_BATCH
     rev = lambda j, nb=nb: (nb - 1 - j, 0, 0)
     rev2 = lambda j, nb=nb: (nb - 1 - j, 0)
     blk3 = lambda shape: pl.BlockSpec(shape, rev, memory_space=pltpu.VMEM)
-    dxw_fw, dxw_bw, dwh_fw, dwh_bw = pl.pallas_call(
+    wh_spec = pl.BlockSpec((H, H4), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
         functools.partial(
-            _bwd_train_kernel, block_t=bt, forget_bias=forget_bias
+            _bwd_train_kernel, block_t=bt, forget_bias=forget_bias,
+            accum_dwh=accum_dwh,
         ),
         grid=(nb,),
         in_specs=[
@@ -480,26 +520,50 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
             blk3((bt, B, H)),
             blk3((bt, B, H)),
         ],
-        out_specs=[
-            blk3((bt, B, H4)),
-            blk3((bt, B, H4)),
-            pl.BlockSpec((H, H4), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, B, H4), dt),
-            jax.ShapeDtypeStruct((Tp, B, H4), dt),
-            jax.ShapeDtypeStruct((H, H4), jnp.float32),
-            jax.ShapeDtypeStruct((H, H4), jnp.float32),
-        ],
+        out_specs=(
+            [blk3((bt, B, H4)), blk3((bt, B, H4))]
+            + ([wh_spec, wh_spec] if accum_dwh else [])
+        ),
+        out_shape=(
+            [
+                jax.ShapeDtypeStruct((Tp, B, H4), dt),
+                jax.ShapeDtypeStruct((Tp, B, H4), dt),
+            ]
+            + (
+                [
+                    jax.ShapeDtypeStruct((H, H4), jnp.float32),
+                    jax.ShapeDtypeStruct((H, H4), jnp.float32),
+                ]
+                if accum_dwh else []
+            )
+        ),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
       h_fw, h_bw, c_fw, c_bw, bhnd_fw, bhnd_bw, bcnd_fw, bcnd_bw,
       g_fw_p, g_bw_p)
+
+    if accum_dwh:
+        dxw_fw, dxw_bw, dwh_fw, dwh_bw = outs
+    else:
+        dxw_fw, dxw_bw = outs
+
+        def shift(a):
+            # h of the previous step in this direction's own time order
+            return jnp.concatenate(
+                [jnp.zeros((1, B, H), a.dtype), a[:-1]], axis=0
+            )
+
+        # dwh as ONE large matmul (padded-safe: dgates==0 there)
+        dwh_fw = jnp.einsum(
+            "tbh,tbg->hg", shift(h_fw), dxw_fw,
+            preferred_element_type=jnp.float32,
+        )
+        dwh_bw = jnp.einsum(
+            "tbh,tbg->hg", shift(h_bw), dxw_bw,
+            preferred_element_type=jnp.float32,
+        )
 
     zeros_mask = jnp.zeros((T, B), mask_fw_p.dtype)
     return (
