@@ -1,7 +1,6 @@
 """CLI and script coverage: sweep over variants, multiprocess data
 prep, argument handling."""
 
-import json
 import os
 
 import numpy as np

@@ -2,7 +2,6 @@
 storage edge cases."""
 
 import os
-import struct
 
 import numpy as np
 import pytest
@@ -130,7 +129,6 @@ class TestStorage:
     def test_evaluator_loss_matches_direct(self, tmp_path):
         """LossEvaluator == manual mean over the dev set."""
         import jax
-        import jax.numpy as jnp
 
         from nabu_tpu.config import Conf, ConfigFile
         from nabu_tpu.data.pipeline import BucketedLoader, batch_to_arrays

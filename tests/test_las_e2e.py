@@ -97,7 +97,6 @@ def test_nbest_ranked(trained_las):
     import numpy as np
 
     from nabu_tpu.config import Recipe
-    from nabu_tpu.data.pipeline import BucketedLoader
     from nabu_tpu.decoding.recognizers import build_recognizer
     from nabu_tpu.scripts.common import make_loader, model_from_recipe
     from nabu_tpu.scripts.test import load_best_params
