@@ -220,3 +220,68 @@ class TestGraftEntry:
         g.dryrun_multichip(8)
         out = capsys.readouterr().out
         assert "one train step ok" in out
+
+
+class TestShardedDecode:
+    """Beam decoding with the batch sharded over the mesh's data axis
+    (BASELINE.json:5: batched jit decode with beam state in device
+    memory, hypothesis exchange via collectives — GSPMD inserts any
+    needed collectives from the input sharding). Sharded results must
+    equal the single-device run."""
+
+    def _sharded(self, arr, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(mesh, P("data")))
+
+    def test_ctc_prefix_beam_sharded_matches(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.decoding.recognizers import build_recognizer
+        from nabu_tpu.parallel import mesh as mesh_lib
+
+        model, _ = _small_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch = _batch(B=8)
+        rec = build_recognizer(
+            Conf({"recognizer": "ctc_beam", "beam_width": "4"}), model
+        )
+        ref = rec(params, batch["features"], batch["feature_lengths"])
+
+        mesh = mesh_lib.make_mesh()
+        feats = self._sharded(batch["features"], mesh)
+        lens = self._sharded(batch["feature_lengths"], mesh)
+        got = rec(params, feats, lens)
+        for b in range(8):
+            assert got.best(b) == ref.best(b)
+
+    def test_attention_beam_sharded_matches(self):
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.decoding.recognizers import build_recognizer
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.parallel import mesh as mesh_lib
+
+        cfg = ConfigFile({
+            "encoder": Conf({
+                "encoder": "listener", "num_layers": "1",
+                "num_units": "32",
+            }, "encoder"),
+            "decoder": Conf({
+                "decoder": "speller", "num_units": "32",
+                "embed_dim": "8", "loss": "cross_entropy",
+            }, "decoder"),
+        })
+        model = build_model(cfg, input_dim=16, num_labels=8)
+        params = model.init(jax.random.PRNGKey(1))
+        batch = _batch(B=8)
+        rec = build_recognizer(
+            Conf({"recognizer": "beam", "beam_width": "3",
+                  "max_label_len": "10"}), model
+        )
+        ref = rec(params, batch["features"], batch["feature_lengths"])
+
+        mesh = mesh_lib.make_mesh()
+        feats = self._sharded(batch["features"], mesh)
+        lens = self._sharded(batch["feature_lengths"], mesh)
+        got = rec(params, feats, lens)
+        for b in range(8):
+            assert got.best(b) == ref.best(b)
