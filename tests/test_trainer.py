@@ -221,3 +221,36 @@ def test_early_stopping_backoff_and_restore(tmp_path):
                                    "tries": np.int64(0)})
     assert float(latest["lr_scale"]) == 0.25  # two backoffs of 0.5
     assert int(latest["tries"]) == 2
+
+
+def test_aggregation_spans_epoch_boundary(tmp_path):
+    """numbatches_to_aggregate larger than an epoch: micro-batches
+    accumulate across the epoch boundary and the optimizer still steps
+    (the reference aggregated across whatever batches arrived)."""
+    import jax
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.parallel import mesh as mesh_lib
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    model = build_model(cfg, 6, 4)
+    # loader: 8 utts / batch 4 = 2 batches per epoch; aggregate 4
+    loader = _make_loader(tmp_path / "d")
+    tconf = Conf({
+        "num_steps": "2",
+        "numbatches_to_aggregate": "4",
+        "log_frequency": "1",
+        "learning_rate": "1e-2",
+    }, "trainer")
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+    trainer = Trainer(tconf, model, loader, str(tmp_path / "exp"),
+                      mesh=mesh)
+    result = trainer.train(rng_seed=0)
+    # 2 optimizer steps = 8 micro-batches = 4 epochs of data
+    assert result["step"] == 2
