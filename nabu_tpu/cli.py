@@ -47,7 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser(
         "kill", help="stop a cluster run launched with --computing"
     )
-    sp.add_argument("--expdir", required=True)
+    # --expdir identifies the condor job-id record; the ssh path kills
+    # by per-host pidfile and needs only the machine list
+    sp.add_argument("--expdir", default=None)
     sp.add_argument("--computing", required=True, choices=["ssh", "condor"])
     sp.add_argument("--computing_conf", default=None)
 
@@ -101,7 +103,8 @@ def _launch_cluster(args) -> int:
         )
         for proc in procs:
             proc.wait()
-        return max((p.returncode or 0) for p in procs)
+        # any nonzero (including signal-death negatives) is a failure
+        return 1 if any(p.returncode for p in procs) else 0
     from nabu_tpu.computing import condor
 
     num_processes = conf.getint("num_processes", args.num_processes or 0)
@@ -140,6 +143,8 @@ def _kill_cluster(args) -> int:
     else:
         from nabu_tpu.computing import condor
 
+        if not args.expdir:
+            raise SystemExit("--computing=condor kill needs --expdir")
         condor.remove(args.expdir)
     return 0
 

@@ -54,10 +54,16 @@ def spec_augment(
     t_pos = jnp.arange(T)[None, :, None]  # broadcast [B, T, F]
     f_pos = jnp.arange(F)[None, None, :]
 
+    # Park et al.: sample the mask width first, THEN the start uniform
+    # over [0, dim - w] — start and width must not be independent, or
+    # the last bins/frames are never masked and a width cap > dim lets
+    # one mask zero the whole axis.
+    fw = min(freq_width, F - 1)
     for i in range(freq_masks):
         k_w, k_s, rng = jax.random.split(rng, 3)
-        w = jax.random.randint(k_w, (B, 1, 1), 0, freq_width + 1)
-        start = jax.random.randint(k_s, (B, 1, 1), 0, max(F - freq_width, 1))
+        w = jax.random.randint(k_w, (B, 1, 1), 0, fw + 1)
+        u_s = jax.random.uniform(k_s, (B, 1, 1))
+        start = (u_s * (F - w + 1).astype(jnp.float32)).astype(jnp.int32)
         keep &= ~((f_pos >= start) & (f_pos < start + w))
 
     max_t = jnp.maximum(
@@ -73,7 +79,7 @@ def spec_augment(
         w = (u_w * (max_t + 1).astype(jnp.float32)).astype(jnp.int32)
         u_s = jax.random.uniform(k_s, (B, 1, 1))
         span = jnp.maximum(
-            lengths[:, None, None].astype(jnp.int32) - w, 1
+            lengths[:, None, None].astype(jnp.int32) - w + 1, 1
         )
         start = (u_s * span.astype(jnp.float32)).astype(jnp.int32)
         keep &= ~((t_pos >= start) & (t_pos < start + w))

@@ -106,9 +106,12 @@ class Trainer:
 
         self.num_steps = conf.getint("num_steps", 0)
         if not self.num_steps:
+            # aggregation may span epoch boundaries, so num_epochs means
+            # epochs of DATA: total micro-batches / batches-per-step
+            # (floor leaves at most one partial step of data unused)
             epochs = conf.getint("num_epochs", 10)
-            self.num_steps = epochs * max(
-                loader.num_batches() // self.num_aggregate, 1
+            self.num_steps = max(
+                epochs * loader.num_batches() // self.num_aggregate, 1
             )
         self.valid_frequency = conf.getint("valid_frequency", 0)
         self.log_frequency = conf.getint("log_frequency", 10)
@@ -147,23 +150,34 @@ class Trainer:
         self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1))
         # aggregation path (num_aggregate > 1): grads-only step per
         # micro-batch (one compile per bucket shape, like _train_step),
-        # on-device tree accumulation, and one shape-independent apply
+        # one jitted on-device (grads, metrics) tree accumulation, and
+        # one shape-independent apply
         self._grad_step = jax.jit(self._grad_impl)
         self._accum_add = jax.jit(
-            lambda acc, g: jax.tree.map(jnp.add, acc, g),
+            lambda acc, new: jax.tree.map(jnp.add, acc, new),
             donate_argnums=(0,),
         )
         self._apply_step = jax.jit(self._apply_impl, donate_argnums=(0, 1, 2))
 
     # -- one optimizer step ----------------------------------------------
+    def _apply_grads(self, params, opt_state, grads, lr_scale):
+        """Shared optimizer tail: update -> lr_scale -> apply.
+
+        The single place that defines apply semantics, so plain and
+        aggregated (numbatches_to_aggregate > 1) steps cannot drift."""
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, optax.global_norm(grads)
+
     def _step_impl(self, params, opt_state, batch, rng, lr_scale):
         (loss, metrics), grads = jax.value_and_grad(
             self.loss_fn, has_aux=True
         )(params, batch, rng, True)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        params, opt_state, gnorm = self._apply_grads(
+            params, opt_state, grads, lr_scale
+        )
+        metrics["grad_norm"] = gnorm
         return params, opt_state, metrics
 
     def _grad_impl(self, params, batch, rng):
@@ -176,10 +190,7 @@ class Trainer:
         # average (not sum) over the aggregated batches — same semantics
         # as the reference's synchronous replica aggregation
         grads = jax.tree.map(lambda g: g / self.num_aggregate, grads)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, optax.global_norm(grads)
+        return self._apply_grads(params, opt_state, grads, lr_scale)
 
     # -- state helpers ---------------------------------------------------
     def init_state(self, rng_seed: int = 0) -> Dict:
@@ -227,13 +238,13 @@ class Trainer:
         tries = int(state["tries"])
         base_rng = jax.random.PRNGKey(1234 + rng_seed)
 
-        # epoch_size counts optimizer steps; the resume fast-forward skip
-        # is in batches (num_aggregate batches per optimizer step)
-        epoch_size = max(
-            self.loader.num_batches() // self.num_aggregate, 1
-        )
-        epoch = step // epoch_size
-        skip = (step % epoch_size) * self.num_aggregate
+        # resume fast-forward in MICRO-batches: the step loop consumes a
+        # continuous batch stream (aggregation may span epochs), so the
+        # exact position after `step` optimizer steps is step*k batches
+        num_batches = max(self.loader.num_batches(), 1)
+        micro_total = step * self.num_aggregate
+        epoch = micro_total // num_batches
+        skip = micro_total % num_batches
         accum = None  # pending gradient sum (num_aggregate > 1)
         msum = None  # pending metric sums
         micro = 0  # micro-batches accumulated so far
@@ -284,8 +295,12 @@ class Trainer:
                     if accum is None:
                         accum, msum = grads, gmetrics
                     else:
-                        accum = self._accum_add(accum, grads)
-                        msum = jax.tree.map(jnp.add, msum, gmetrics)
+                        # one jitted call for the whole (grads, metrics)
+                        # tree: per-leaf jnp dispatch costs ms each on
+                        # high-latency links (CLAUDE.md)
+                        accum, msum = self._accum_add(
+                            (accum, msum), (grads, gmetrics)
+                        )
                     micro += 1
                     if micro < self.num_aggregate:
                         continue

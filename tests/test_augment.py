@@ -125,3 +125,43 @@ def test_jit_and_grad():
         jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)))
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_mask_start_covers_full_axis():
+    """Regression: width is sampled first, start uniform over
+    [0, dim - w] — the LAST frequency bin and the final real frame must
+    be maskable (an independent start capped at dim - max_width left
+    them permanently unmasked)."""
+    B, T, F = 8, 40, 12
+    feats = jnp.ones((B, T, F))
+    lengths = jnp.full((B,), T, jnp.int32)
+    last_bin_hit = last_frame_hit = False
+    for seed in range(40):
+        out = np.asarray(spec_augment(
+            jax.random.PRNGKey(seed), feats, lengths,
+            freq_masks=1, freq_width=4, time_masks=1, time_width=8,
+            time_ratio=1.0,
+        ))
+        if (out[:, :, -1] == 0).any():
+            last_bin_hit = True
+        if (out[:, -1, :] == 0).any():
+            last_frame_hit = True
+        if last_bin_hit and last_frame_hit:
+            break
+    assert last_bin_hit, "last frequency bin never masked"
+    assert last_frame_hit, "last frame never masked"
+
+
+def test_freq_width_capped_by_num_bins():
+    """freq_width >= F must not let one mask zero the whole spectrum."""
+    B, T, F = 4, 20, 6
+    feats = jnp.ones((B, T, F))
+    lengths = jnp.full((B,), T, jnp.int32)
+    for seed in range(20):
+        out = np.asarray(spec_augment(
+            jax.random.PRNGKey(seed), feats, lengths,
+            freq_masks=1, freq_width=10,  # wider than F
+            time_masks=0,
+        ))
+        zero_bins = (out == 0).all(axis=(0, 1)).sum()
+        assert zero_bins < F, "a single freq mask wiped the spectrum"

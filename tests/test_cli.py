@@ -172,9 +172,8 @@ def test_kill_computing_ssh_stub(tmp_path, monkeypatch):
     machines.write_text("host-a\nhost-b\n")
     conf = tmp_path / "ssh.cfg"
     conf.write_text(f"[computing]\ncluster_file = {machines}\n")
-    rc = main([
-        "kill", "--expdir=/e", "--computing=ssh",
-        f"--computing_conf={conf}",
+    rc = main([  # --expdir not needed for the ssh (pidfile) path
+        "kill", "--computing=ssh", f"--computing_conf={conf}",
     ])
     assert rc == 0
     calls = open(tmp_path / "ssh_calls").read()

@@ -254,3 +254,53 @@ def test_aggregation_spans_epoch_boundary(tmp_path):
     result = trainer.train(rng_seed=0)
     # 2 optimizer steps = 8 micro-batches = 4 epochs of data
     assert result["step"] == 2
+
+
+def test_resume_mid_epoch_with_aggregation_matches_uninterrupted(tmp_path):
+    """Non-divisible num_batches/num_aggregate: resuming from a
+    checkpoint must consume exactly the remaining micro-batch stream —
+    final params equal an uninterrupted run's (regression for the
+    resume fast-forward, which previously skipped or replayed data)."""
+    import jax
+    import numpy as np
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.parallel import mesh as mesh_lib
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    # 12 utts / batch 4 = 3 batches per epoch, aggregate 2: steps do NOT
+    # align with epochs (step 1 = batches 0,1; step 2 = batch 2 + epoch
+    # 1's batch 0; ...)
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+
+    def run(name, stop_at, then_resume_to=None):
+        loader = _make_loader(tmp_path / f"d_{name}", n=12)
+        expdir = str(tmp_path / f"exp_{name}")
+
+        def make(num_steps, resume):
+            tconf = Conf({
+                "num_steps": str(num_steps),
+                "numbatches_to_aggregate": "2",
+                "log_frequency": "1",
+                "ckpt_frequency": "1",
+                "learning_rate": "1e-2",
+                "resume": str(resume).lower(),
+            }, "trainer")
+            model = build_model(cfg, 6, 4)
+            return Trainer(tconf, model, loader, expdir, mesh=mesh)
+
+        result = make(stop_at, resume=False).train(rng_seed=0)
+        if then_resume_to is not None:
+            result = make(then_resume_to, resume=True).train(rng_seed=0)
+        return jax.device_get(result["params"])
+
+    p_straight = run("straight", stop_at=4)
+    p_resumed = run("resumed", stop_at=1, then_resume_to=4)
+    for a, b in zip(jax.tree.leaves(p_straight), jax.tree.leaves(p_resumed)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
