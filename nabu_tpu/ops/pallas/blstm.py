@@ -15,9 +15,10 @@ flip-and-rescan is needed.
 Training uses the same trick in reverse: both directions' backward
 passes walk their OWN time descending, which is the same mirrored-block
 pattern, so one backward kernel advances fw-backward and bw-backward
-together (two dgates computations, two d(wh) accumulations, two
-carry-propagation matmuls per row) — see ``blstm_seq_fused`` (custom
-VJP).
+together. Per step only the serial-chain matmul (dgates @ wh.T) runs;
+the gate recompute and the d(wh) accumulation are batched per time
+block as full-M matmuls in VMEM — see ``blstm_seq_fused`` (custom VJP)
+and the README performance model.
 
 Mixed precision: everything follows the input dtype (the model's
 compute_dtype). In bfloat16 the h carries, outputs, and both matmul
@@ -39,11 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 from nabu_tpu.ops.pallas import on_tpu
 
 _VMEM_LIMIT = 100 * 1024 * 1024
-# measured crossover: below this batch, hoisting the dwh accumulation
-# out of the backward kernel wins (small-M weight streaming dominates
-# the in-loop matmul); at/above it, in-kernel accumulation wins (M
-# fills the MXU and the hoist's extra HBM pass over h costs more)
-_DWH_ACCUM_BATCH = 128
 
 
 def _auto_block_t(block_t: int, T: int, B: int) -> int:
@@ -268,23 +264,22 @@ def _bwd_train_kernel(
     bcnd_fw_ref, bcnd_bw_ref,  # [1, B, H] block entry c carries
     g_fw_ref, g_bw_ref,  # [BT, B, H] cotangents of masked outputs
     dxw_fw_ref, dxw_bw_ref,  # out [BT, B, 4H] compute dtype
-    *rest,  # [dwh_fw_ref, dwh_bw_ref (iff accum_dwh),] 4 scratches
+    dwh_fw_ref, dwh_bw_ref,  # out [H, 4H] f32 accumulated over blocks
+    dhf_s, dcf_s, dhb_s, dcb_s,  # [B, H] f32 carry scratches
+    gates_fw_s, gates_bw_s,  # [BT, B, 4H] f32 scratch
+    hprev_fw_s, hprev_bw_s,  # [BT, B, H] compute-dtype scratch
+    *,
     block_t: int,
     forget_bias: float,
-    accum_dwh: bool,
 ):
-    """Per step per direction: the gate recompute (off the serial chain
-    — pipelines ahead, and rematerializing gates from the bf16 xw
-    stream is cheaper than streaming f32 preactivations from HBM) and
-    the chain matmul dgates @ wh.T. The dwh accumulation runs in-kernel
-    only when ``accum_dwh`` (large batch: M fills the MXU anyway);
-    otherwise it is hoisted OUT of the kernel into one
-    full-utilization matmul over all timesteps (see _fused_bwd)."""
-    if accum_dwh:
-        dwh_fw_ref, dwh_bw_ref, dhf_s, dcf_s, dhb_s, dcb_s = rest
-    else:
-        dwh_fw_ref = dwh_bw_ref = None
-        dhf_s, dcf_s, dhb_s, dcb_s = rest
+    """Only the serial-chain matmul (dgates @ wh.T) runs per step. The
+    two off-chain matmuls are batched at BLOCK granularity in VMEM —
+    one M=block_t*B full-utilization matmul each instead of block_t
+    small-M weight-streaming matmuls, with no extra HBM traffic:
+
+      gates  (pre-loop):  [BT*B, H] @ [H, 4H] from the stored carries
+      dwh    (post-loop): [H, BT*B] @ [BT*B, 4H] over the dgates output
+    """
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -292,21 +287,37 @@ def _bwd_train_kernel(
         dcf_s[:] = jnp.zeros_like(dcf_s)
         dhb_s[:] = jnp.zeros_like(dhb_s)
         dcb_s[:] = jnp.zeros_like(dcb_s)
-        if accum_dwh:
-            dwh_fw_ref[:] = jnp.zeros_like(dwh_fw_ref)
-            dwh_bw_ref[:] = jnp.zeros_like(dwh_bw_ref)
+        dwh_fw_ref[:] = jnp.zeros_like(dwh_fw_ref)
+        dwh_bw_ref[:] = jnp.zeros_like(dwh_bw_ref)
 
     H = wh_fw_ref.shape[0]
+    H4 = 4 * H
     cdt = dxw_fw_ref.dtype
+    BT = block_t
+    B = dhf_s.shape[0]
 
-    def direction(i, xw_ref, mask_ref, wh_ref, h_ref, c_ref, bhnd_ref,
-                  bcnd_ref, g_ref, dxw_ref, dwh_ref, dh_s, dc_s):
-        m = mask_ref[i][:, None]
-        h_prev = jnp.where(i > 0, h_ref[jnp.maximum(i - 1, 0)], bhnd_ref[0])
-        c_prev = jnp.where(i > 0, c_ref[jnp.maximum(i - 1, 0)], bcnd_ref[0])
-        gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
-            h_prev, wh_ref[:], preferred_element_type=jnp.float32
+    def prep(xw_ref, wh_ref, h_ref, bhnd_ref, gates_s, hprev_s):
+        # h_prev for every step of the block: block-entry carry then
+        # the stored post-mask carries shifted by one
+        hprev_s[0:1] = bhnd_ref[:]
+        if BT > 1:
+            hprev_s[1:] = h_ref[: BT - 1]
+        hp = hprev_s[:].reshape(BT * B, H)
+        gates = jnp.dot(hp, wh_ref[:], preferred_element_type=jnp.float32)
+        gates_s[:] = (
+            xw_ref[:].astype(jnp.float32) + gates.reshape(BT, B, H4)
         )
+
+    prep(xw_fw_ref, wh_fw_ref, h_fw_ref, bhnd_fw_ref,
+         gates_fw_s, hprev_fw_s)
+    prep(xw_bw_ref, wh_bw_ref, h_bw_ref, bhnd_bw_ref,
+         gates_bw_s, hprev_bw_s)
+
+    def direction(i, gates_s, mask_ref, wh_ref, c_ref,
+                  bcnd_ref, g_ref, dxw_ref, dh_s, dc_s):
+        m = mask_ref[i][:, None]
+        c_prev = jnp.where(i > 0, c_ref[jnp.maximum(i - 1, 0)], bcnd_ref[0])
+        gates = gates_s[i]
         gi = jax.nn.sigmoid(gates[:, :H])
         gf = jax.nn.sigmoid(gates[:, H : 2 * H] + forget_bias)
         gg = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -326,10 +337,6 @@ def _bwd_train_kernel(
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
         dgates_c = dgates.astype(cdt)
         dxw_ref[i] = dgates_c
-        if dwh_ref is not None:
-            dwh_ref[:] += jnp.dot(
-                h_prev.T, dgates_c, preferred_element_type=jnp.float32
-            )
         dh_prev = jnp.dot(
             dgates_c, wh_ref[:].T, preferred_element_type=jnp.float32
         )
@@ -338,15 +345,25 @@ def _bwd_train_kernel(
 
     def body(k, _):
         i = block_t - 1 - k
-        direction(i, xw_fw_ref, mask_fw_ref, wh_fw_ref, h_fw_ref,
-                  c_fw_ref, bhnd_fw_ref, bcnd_fw_ref, g_fw_ref,
-                  dxw_fw_ref, dwh_fw_ref, dhf_s, dcf_s)
-        direction(i, xw_bw_ref, mask_bw_ref, wh_bw_ref, h_bw_ref,
-                  c_bw_ref, bhnd_bw_ref, bcnd_bw_ref, g_bw_ref,
-                  dxw_bw_ref, dwh_bw_ref, dhb_s, dcb_s)
+        direction(i, gates_fw_s, mask_fw_ref, wh_fw_ref,
+                  c_fw_ref, bcnd_fw_ref, g_fw_ref,
+                  dxw_fw_ref, dhf_s, dcf_s)
+        direction(i, gates_bw_s, mask_bw_ref, wh_bw_ref,
+                  c_bw_ref, bcnd_bw_ref, g_bw_ref,
+                  dxw_bw_ref, dhb_s, dcb_s)
         return 0
 
     jax.lax.fori_loop(0, block_t, body, 0)
+
+    def accum_dwh(hprev_s, dxw_ref, dwh_ref):
+        hp = hprev_s[:].reshape(BT * B, H)
+        dg = dxw_ref[:].reshape(BT * B, H4)
+        dwh_ref[:] += jnp.dot(
+            hp.T, dg, preferred_element_type=jnp.float32
+        )
+
+    accum_dwh(hprev_fw_s, dxw_fw_ref, dwh_fw_ref)
+    accum_dwh(hprev_bw_s, dxw_bw_ref, dwh_bw_ref)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -444,23 +461,19 @@ def _fused_fwd(xw_fw, xw_bw, mask_fw, mask_bw, wh_fw, wh_bw,
 
 
 def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
-    """Backward: the serial-chain matmul (dgates @ wh.T) and the gate
-    recompute run per timestep inside the kernel. Below the measured
-    crossover batch (B < _DWH_ACCUM_BATCH) the dwh accumulation is
-    hoisted into ONE large MXU op over all timesteps, where M = T*B
-    instead of B (full utilization instead of per-step small-M weight
-    streaming; +16% step throughput at B=32):
-
-      dwh = sum_t h[t-1].T @ dgates[t]   (one [H,T*B]x[T*B,4H] matmul)
+    """Backward: only the serial-chain matmul (dgates @ wh.T) runs per
+    timestep; the gate recompute and the dwh accumulation are batched
+    at block granularity INSIDE the kernel (see _bwd_train_kernel) —
+    full-M MXU matmuls from VMEM with no extra HBM traffic, so the
+    scheme wins at every batch size (earlier variants measured: per-
+    step dwh accumulation lost ~16% at B=32; hoisting to a whole-T HBM
+    einsum lost a few % at B=128 from the extra pass over h; streaming
+    precomputed f32 gate preactivations from HBM was slower still).
 
     Exact: dgates is zero at masked/padded steps (dh_new and dc_new are
-    mask-gated in-kernel), so the padded-tail terms of the hoisted sum
-    vanish. At large batch M already fills the MXU and the hoist's
-    extra HBM pass over h costs more than it saves, so the accumulation
-    stays in-kernel. Hoisting the gate recompute too was measured
-    slower at every batch: streaming precomputed f32 preactivations
-    from HBM costs more than recomputing them from the bf16 xw
-    stream."""
+    mask-gated), so padded-tail terms of the dwh sum vanish, and the
+    block gate recompute uses the same stored post-mask carries the
+    per-step recompute used."""
     if interpret is None:
         interpret = not on_tpu()
     (xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
@@ -488,16 +501,14 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
     bhnd_fw, bhnd_bw = boundary(h_fw), boundary(h_bw)
     bcnd_fw, bcnd_bw = boundary(c_fw), boundary(c_bw)
 
-    accum_dwh = B >= _DWH_ACCUM_BATCH
     rev = lambda j, nb=nb: (nb - 1 - j, 0, 0)
     rev2 = lambda j, nb=nb: (nb - 1 - j, 0)
     blk3 = lambda shape: pl.BlockSpec(shape, rev, memory_space=pltpu.VMEM)
     wh_spec = pl.BlockSpec((H, H4), lambda j: (0, 0),
                            memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    dxw_fw, dxw_bw, dwh_fw, dwh_bw = pl.pallas_call(
         functools.partial(
-            _bwd_train_kernel, block_t=bt, forget_bias=forget_bias,
-            accum_dwh=accum_dwh,
+            _bwd_train_kernel, block_t=bt, forget_bias=forget_bias
         ),
         grid=(nb,),
         in_specs=[
@@ -505,10 +516,8 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
             blk3((bt, B, H4)),
             pl.BlockSpec((bt, B), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, B), rev2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            wh_spec,
+            wh_spec,
             blk3((bt, B, H)),
             blk3((bt, B, H)),
             blk3((bt, B, H)),
@@ -520,50 +529,28 @@ def _fused_bwd(forget_bias, interpret, block_t, residuals, g):
             blk3((bt, B, H)),
             blk3((bt, B, H)),
         ],
-        out_specs=(
-            [blk3((bt, B, H4)), blk3((bt, B, H4))]
-            + ([wh_spec, wh_spec] if accum_dwh else [])
+        out_specs=[
+            blk3((bt, B, H4)),
+            blk3((bt, B, H4)),
+            wh_spec,
+            wh_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, H4), dt),
+            jax.ShapeDtypeStruct((Tp, B, H4), dt),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((B, H), jnp.float32)] * 4
+            + [pltpu.VMEM((bt, B, H4), jnp.float32)] * 2
+            + [pltpu.VMEM((bt, B, H), dt)] * 2
         ),
-        out_shape=(
-            [
-                jax.ShapeDtypeStruct((Tp, B, H4), dt),
-                jax.ShapeDtypeStruct((Tp, B, H4), dt),
-            ]
-            + (
-                [
-                    jax.ShapeDtypeStruct((H, H4), jnp.float32),
-                    jax.ShapeDtypeStruct((H, H4), jnp.float32),
-                ]
-                if accum_dwh else []
-            )
-        ),
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xw_fw_p, xw_bw_p, mask_fw_p, mask_bw_p, wh_fw, wh_bw,
       h_fw, h_bw, c_fw, c_bw, bhnd_fw, bhnd_bw, bcnd_fw, bcnd_bw,
       g_fw_p, g_bw_p)
-
-    if accum_dwh:
-        dxw_fw, dxw_bw, dwh_fw, dwh_bw = outs
-    else:
-        dxw_fw, dxw_bw = outs
-
-        def shift(a):
-            # h of the previous step in this direction's own time order
-            return jnp.concatenate(
-                [jnp.zeros((1, B, H), a.dtype), a[:-1]], axis=0
-            )
-
-        # dwh as ONE large matmul (padded-safe: dgates==0 there)
-        dwh_fw = jnp.einsum(
-            "tbh,tbg->hg", shift(h_fw), dxw_fw,
-            preferred_element_type=jnp.float32,
-        )
-        dwh_bw = jnp.einsum(
-            "tbh,tbg->hg", shift(h_bw), dxw_bw,
-            preferred_element_type=jnp.float32,
-        )
 
     zeros_mask = jnp.zeros((T, B), mask_fw_p.dtype)
     return (

@@ -293,33 +293,36 @@ class TestCTCBatched:
                 np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4
             )
 
-    def test_trainable_fused_grads_match_accum_dwh(self, monkeypatch):
-        """The in-kernel dwh-accumulation variant (selected at large
-        batch) produces the same gradients as the oracle."""
+    def test_trainable_fused_grads_match_tiny_block(self):
+        """Degenerate block sizes (BT=1, T not a block multiple) still
+        produce oracle-matching gradients — exercises the block-entry
+        carry path and the static BT>1 branch of the batched gate
+        recompute."""
         import nabu_tpu.ops.pallas.blstm as blstm_mod
         from nabu_tpu.models import core
-
-        monkeypatch.setattr(blstm_mod, "_DWH_ACCUM_BATCH", 1)
 
         key = jax.random.PRNGKey(11)
         p = core.blstm_init(key, 5, 7)
         rng = np.random.default_rng(11)
-        x = jnp.asarray(rng.standard_normal((3, 13, 5)).astype(np.float32))
-        lengths = jnp.array([13, 9, 2])
-
-        def loss_ref(p, x):
-            return (core.blstm_apply(p, x, lengths) ** 2).sum()
-
-        def loss_fused(p, x):
-            return (
-                blstm_mod.blstm_apply_fused(
-                    p, x, lengths, interpret=True, block_t=4
-                ) ** 2
-            ).sum()
-
-        gr = jax.grad(loss_ref, argnums=(0, 1))(p, x)
-        gf = jax.grad(loss_fused, argnums=(0, 1))(p, x)
-        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4
+        for T, bt in ((1, 1), (3, 1), (13, 5)):
+            x = jnp.asarray(
+                rng.standard_normal((3, T, 5)).astype(np.float32)
             )
+            lengths = jnp.array([T, max(T - 1, 1), 1])
+
+            def loss_ref(p, x):
+                return (core.blstm_apply(p, x, lengths) ** 2).sum()
+
+            def loss_fused(p, x):
+                return (
+                    blstm_mod.blstm_apply_fused(
+                        p, x, lengths, interpret=True, block_t=bt
+                    ) ** 2
+                ).sum()
+
+            gr = jax.grad(loss_ref, argnums=(0, 1))(p, x)
+            gf = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+            for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4
+                )
