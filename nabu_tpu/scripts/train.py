@@ -52,6 +52,19 @@ def main(
     batch_size = trainer_conf.getint("batch_size", 16)
     num_buckets = trainer_conf.getint("num_buckets", 4)
 
+    # persistent XLA compilation cache: with one jitted step per bucket
+    # shape and 20-40 s TPU compiles, a resume/restart otherwise pays
+    # the whole compile bill again (compilation_cache = false disables;
+    # compilation_cache_dir overrides the location)
+    if trainer_conf.getbool("compilation_cache", True):
+        cache_dir = trainer_conf.get(
+            "compilation_cache_dir",
+            os.path.join(expdir, "jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     model, _ = model_from_recipe(
         recipe, expdir, trainer_conf["features"], trainer_conf["targets"]
     )
