@@ -166,6 +166,140 @@ class DNN(Encoder):
         return x, lengths
 
 
+def _sinusoidal_pe(T: int, d: int, dtype) -> jnp.ndarray:
+    """Standard sinusoidal position encoding [T, d]."""
+    pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+    dim = jnp.arange(0, d, 2, dtype=jnp.float32)[None, :]
+    angle = pos / jnp.power(10000.0, dim / d)
+    pe = jnp.zeros((T, d), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angle))
+    pe = pe.at[:, 1::2].set(jnp.cos(angle[:, : (d // 2)]))
+    return pe.astype(dtype)
+
+
+@ENCODERS.register("transformer")
+class TransformerEncoder(Encoder):
+    """Self-attention encoder (beyond reference parity — the reference
+    predates transformers). TPU-first rationale: every op is a large
+    batched matmul on the MXU with NO sequential dependency chain, so
+    unlike the recurrence-bound BLSTM family its step time is compute-
+    bound and scales with chip FLOPs, not with per-timestep latency.
+
+    Config: ``num_layers`` (6), ``num_units`` (model dim, 256),
+    ``num_heads`` (4), ``ffn_dim`` (4*num_units), ``dropout``,
+    ``subsample`` (1|2|4|8: pyramid-stack factor applied before the
+    blocks, reusing the Listener's time reduction), ``remat``
+    (rematerialize each block in the backward pass).
+
+    Pre-LN blocks, sinusoidal positions, length-masked softmax.
+    """
+
+    def __init__(self, conf: Conf, input_dim: int):
+        super().__init__(conf, input_dim)
+        self.num_layers = conf.getint("num_layers", 6)
+        self.d = conf.getint("num_units", 256)
+        self.num_heads = conf.getint("num_heads", 4)
+        if self.d % self.num_heads:
+            raise ValueError(
+                f"num_units {self.d} not divisible by num_heads "
+                f"{self.num_heads}"
+            )
+        self.ffn_dim = conf.getint("ffn_dim", 4 * self.d)
+        self.dropout = conf.getfloat("dropout", 0.0)
+        self.subsample = conf.getint("subsample", 1)
+        if self.subsample not in (1, 2, 4, 8):
+            raise ValueError("subsample must be 1, 2, 4 or 8")
+        self.remat = conf.getbool("remat", False)
+        self.output_dim = self.d
+
+    def init(self, key) -> dict:
+        n_stack = self.subsample.bit_length() - 1
+        in_dim = self.input_dim * self.subsample
+        keys = jax.random.split(key, 1 + 5 * self.num_layers)
+        params = {"in_proj": core.linear_init(keys[0], in_dim, self.d)}
+        k = 1
+        for i in range(self.num_layers):
+            params[f"block_{i}"] = {
+                "ln1_g": jnp.ones((self.d,)),
+                "ln1_b": jnp.zeros((self.d,)),
+                "wqkv": core.glorot(keys[k], (self.d, 3 * self.d)),
+                "wo": core.linear_init(keys[k + 1], self.d, self.d),
+                "ln2_g": jnp.ones((self.d,)),
+                "ln2_b": jnp.zeros((self.d,)),
+                "ffn1": core.linear_init(keys[k + 2], self.d, self.ffn_dim),
+                "ffn2": core.linear_init(keys[k + 3], self.ffn_dim, self.d),
+            }
+            k += 5
+        params["ln_out_g"] = jnp.ones((self.d,))
+        params["ln_out_b"] = jnp.zeros((self.d,))
+        del n_stack
+        return params
+
+    def _block(self, p, x, bias, rate, train, rng):
+        B, T, d = x.shape
+        nh = self.num_heads
+        hd = d // nh
+        y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
+        qkv = y @ p["wqkv"]  # [B, T, 3d]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k,
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        weights = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        att = att.transpose(0, 2, 1, 3).reshape(B, T, d)
+        att = core.linear_apply(p["wo"], att)
+        if train and rate > 0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            att = core.dropout(sub, att, rate, train)
+        x = x + att
+        y = core.layer_norm(x, p["ln2_g"], p["ln2_b"])
+        y = jax.nn.gelu(y @ p["ffn1"]["w"] + p["ffn1"]["b"])
+        y = core.linear_apply(p["ffn2"], y)
+        if train and rate > 0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            y = core.dropout(sub, y, rate, train)
+        return x + y
+
+    def apply(self, params, features, lengths, train=False, rng=None):
+        x = features
+        for _ in range(self.subsample.bit_length() - 1):
+            x, lengths = core.pyramid_stack(x, lengths)
+        B, T, _ = x.shape
+        x = core.linear_apply(params["in_proj"], x)
+        x = x + _sinusoidal_pe(T, self.d, x.dtype)[None]
+        # [B, 1, 1, T] additive attention bias: -inf at padded keys
+        valid = (
+            jnp.arange(T, dtype=lengths.dtype)[None, :] < lengths[:, None]
+        )
+        bias = jnp.where(valid, 0.0, -1e9)[:, None, None, :].astype(
+            jnp.float32
+        )
+        rate = self.dropout
+
+        def block(p, x, bias, sub, _rate=rate, _train=train):
+            # rate/train closed over (static): they gate python-level
+            # dropout branches and must not become tracers under remat
+            return self._block(p, x, bias, _rate, _train, sub)
+
+        if self.remat:
+            block = jax.checkpoint(block)
+        for i in range(self.num_layers):
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            with jax.named_scope(f"block_{i}"):
+                x = block(params[f"block_{i}"], x, bias, sub)
+        x = core.layer_norm(x, params["ln_out_g"], params["ln_out_b"])
+        # zero padded frames (same contract as the recurrent encoders)
+        return x * valid[:, :, None].astype(x.dtype), lengths
+
+
 def build_encoder(conf: Conf, input_dim: int) -> Encoder:
     """Factory by conf['encoder'] (reference: ed_encoder_factory.py)."""
     return ENCODERS.build(conf.get("encoder", "dblstm"), conf, input_dim)
