@@ -45,3 +45,8 @@ def test_decode_mode_smoke():
 def test_las_mode_smoke():
     rec = _run_bench("--model", "las", "--skip_baseline")
     assert rec["value"] > 0
+
+
+def test_transformer_mode_smoke():
+    rec = _run_bench("--model", "transformer", "--skip_baseline")
+    assert rec["value"] > 0
