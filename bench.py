@@ -32,12 +32,12 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
     from nabu_tpu.models.model import build_model
     from nabu_tpu.ops.losses import make_loss_computer
 
-    if arch == "transformer":
-        # beyond-parity TPU-first encoder: all-matmul, no recurrence
+    if arch in ("transformer", "conformer"):
+        # beyond-parity TPU-first encoders: all-matmul, no recurrence
         cfg = ConfigFile({
             "model": Conf({"compute_dtype": compute_dtype}, "model"),
             "encoder": Conf({
-                "encoder": "transformer", "num_layers": "6",
+                "encoder": arch, "num_layers": "6",
                 "num_units": "512", "num_heads": "8",
                 "ffn_dim": "2048", "subsample": "4",
             }, "encoder"),
@@ -249,12 +249,12 @@ def main():
     parser.add_argument("--mode", choices=["train", "decode"],
                         default="train")
     parser.add_argument("--model",
-                        choices=["dblstm", "las", "transformer"],
+                        choices=["dblstm", "las", "transformer", "conformer"],
                         default="dblstm",
                         help="dblstm = BASELINE config 2 CTC workhorse; "
                              "las = config 4/5 joint CTC/attention; "
-                             "transformer = beyond-parity 6x512 "
-                             "self-attention CTC encoder")
+                             "transformer/conformer = beyond-parity 6x512 "
+                             "self-attention CTC encoders")
     parser.add_argument("--beam_width", type=int, default=8)
     parser.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu)")

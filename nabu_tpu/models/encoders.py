@@ -235,11 +235,11 @@ class TransformerEncoder(Encoder):
         del n_stack
         return params
 
-    def _block(self, p, x, bias, rate, train, rng):
-        B, T, d = x.shape
+    def _mhsa(self, p, y, bias):
+        """Length-masked multi-head self-attention on pre-normed y."""
+        B, T, d = y.shape
         nh = self.num_heads
         hd = d // nh
-        y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
         qkv = y @ p["wqkv"]  # [B, T, 3d]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
@@ -249,21 +249,29 @@ class TransformerEncoder(Encoder):
             "bhqd,bhkd->bhqk", q, k,
             preferred_element_type=jnp.float32,
         ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-        weights = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+        weights = jax.nn.softmax(scores + bias, axis=-1).astype(y.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         att = att.transpose(0, 2, 1, 3).reshape(B, T, d)
-        att = core.linear_apply(p["wo"], att)
+        return core.linear_apply(p["wo"], att)
+
+    @staticmethod
+    def _drop(x, rate, train, rng):
         if train and rate > 0 and rng is not None:
-            rng, sub = jax.random.split(rng)
-            att = core.dropout(sub, att, rate, train)
-        x = x + att
+            _, sub = jax.random.split(rng)
+            return core.dropout(sub, x, rate, train)
+        return x
+
+    def _block(self, p, x, bias, valid, rate, train, rng):
+        del valid  # transformer attention handles masking via bias
+        r1, r2 = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
+        y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
+        x = x + self._drop(self._mhsa(p, y, bias), rate, train, r1)
         y = core.layer_norm(x, p["ln2_g"], p["ln2_b"])
         y = jax.nn.gelu(y @ p["ffn1"]["w"] + p["ffn1"]["b"])
         y = core.linear_apply(p["ffn2"], y)
-        if train and rate > 0 and rng is not None:
-            rng, sub = jax.random.split(rng)
-            y = core.dropout(sub, y, rate, train)
-        return x + y
+        return x + self._drop(y, rate, train, r2)
 
     def apply(self, params, features, lengths, train=False, rng=None):
         x = features
@@ -281,10 +289,10 @@ class TransformerEncoder(Encoder):
         )
         rate = self.dropout
 
-        def block(p, x, bias, sub, _rate=rate, _train=train):
+        def block(p, x, bias, valid, sub, _rate=rate, _train=train):
             # rate/train closed over (static): they gate python-level
             # dropout branches and must not become tracers under remat
-            return self._block(p, x, bias, _rate, _train, sub)
+            return self._block(p, x, bias, valid, _rate, _train, sub)
 
         if self.remat:
             block = jax.checkpoint(block)
@@ -294,10 +302,96 @@ class TransformerEncoder(Encoder):
             else:
                 sub = None
             with jax.named_scope(f"block_{i}"):
-                x = block(params[f"block_{i}"], x, bias, sub)
+                x = block(params[f"block_{i}"], x, bias, valid, sub)
         x = core.layer_norm(x, params["ln_out_g"], params["ln_out_b"])
         # zero padded frames (same contract as the recurrent encoders)
         return x * valid[:, :, None].astype(x.dtype), lengths
+
+
+@ENCODERS.register("conformer")
+class ConformerEncoder(TransformerEncoder):
+    """Conformer block encoder (beyond parity): macaron half-step FFNs
+    around masked MHSA plus a depthwise-convolution module
+    (pointwise->GLU->depthwise(SAME)->norm->swish->pointwise), the
+    conv-augmented transformer that is the modern ASR encoder standard.
+    Extra config: ``kernel_size`` (15) for the depthwise conv. Uses
+    layer norm in the conv module instead of batch norm (no cross-batch
+    state; TPU-friendly). Padded frames are zeroed before the conv so
+    padding never leaks into valid positions beyond the kernel's reach
+    of real frames.
+    """
+
+    def __init__(self, conf: Conf, input_dim: int):
+        super().__init__(conf, input_dim)
+        self.kernel_size = conf.getint("kernel_size", 15)
+
+    def init(self, key) -> dict:
+        params = super().init(key)
+        d, f = self.d, self.ffn_dim
+        keys = jax.random.split(
+            jax.random.fold_in(key, 1), 4 * self.num_layers
+        )
+        k = 0
+        for i in range(self.num_layers):
+            blk = params[f"block_{i}"]
+            # macaron second FFN + conv module on top of the base block
+            blk["ln_ff2_g"] = jnp.ones((d,))
+            blk["ln_ff2_b"] = jnp.zeros((d,))
+            blk["ff2_1"] = core.linear_init(keys[k], d, f)
+            blk["ff2_2"] = core.linear_init(keys[k + 1], f, d)
+            blk["ln_conv_g"] = jnp.ones((d,))
+            blk["ln_conv_b"] = jnp.zeros((d,))
+            blk["pw1"] = core.linear_init(keys[k + 2], d, 2 * d)
+            blk["dw"] = core.uniform_scale(
+                jax.random.fold_in(keys[k + 2], 7),
+                (self.kernel_size, d),
+                1.0 / jnp.sqrt(jnp.asarray(self.kernel_size * 1.0)),
+            )
+            blk["ln_dw_g"] = jnp.ones((d,))
+            blk["ln_dw_b"] = jnp.zeros((d,))
+            blk["pw2"] = core.linear_init(keys[k + 3], d, d)
+            k += 4
+        return params
+
+    def _conv_module(self, p, x, valid):
+        y = core.layer_norm(x, p["ln_conv_g"], p["ln_conv_b"])
+        # zero padding before the conv: a SAME window must see zeros,
+        # not garbage, where it overlaps padded frames
+        y = y * valid[:, :, None].astype(y.dtype)
+        y = core.linear_apply(p["pw1"], y)  # [B, T, 2d]
+        a, b = jnp.split(y, 2, axis=-1)
+        y = a * jax.nn.sigmoid(b)  # GLU
+        w = p["dw"].astype(y.dtype)[:, None, :]  # [K, 1, d]
+        y = jax.lax.conv_general_dilated(
+            y, w, window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=y.shape[-1],
+        )
+        y = core.layer_norm(y, p["ln_dw_g"], p["ln_dw_b"])
+        y = y * jax.nn.sigmoid(y)  # swish
+        return core.linear_apply(p["pw2"], y)
+
+    def _ffn(self, x, ln_g, ln_b, p1, p2):
+        y = core.layer_norm(x, ln_g, ln_b)
+        y = jax.nn.gelu(y @ p1["w"] + p1["b"])
+        return core.linear_apply(p2, y)
+
+    def _block(self, p, x, bias, valid, rate, train, rng):
+        r1, r2, r3, r4 = (
+            jax.random.split(rng, 4) if rng is not None
+            else (None,) * 4
+        )
+        # macaron: half-step FFN - MHSA - conv - half-step FFN
+        y = self._ffn(x, p["ln2_g"], p["ln2_b"], p["ffn1"], p["ffn2"])
+        x = x + 0.5 * self._drop(y, rate, train, r1)
+        y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
+        x = x + self._drop(self._mhsa(p, y, bias), rate, train, r2)
+        x = x + self._drop(
+            self._conv_module(p, x, valid), rate, train, r3
+        )
+        y = self._ffn(x, p["ln_ff2_g"], p["ln_ff2_b"], p["ff2_1"],
+                      p["ff2_2"])
+        return x + 0.5 * self._drop(y, rate, train, r4)
 
 
 def build_encoder(conf: Conf, input_dim: int) -> Encoder:

@@ -479,3 +479,64 @@ class TestTransformerEncoder:
             if first is None:
                 first = float(l)
         assert float(l) < 0.3 * first, (first, float(l))
+
+
+class TestConformerEncoder:
+    """Conformer (conv-augmented transformer) beyond-parity encoder."""
+
+    def _build(self, **over):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.encoders import build_encoder
+
+        conf = {"encoder": "conformer", "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+                "kernel_size": "5"}
+        conf.update({k: str(v) for k, v in over.items()})
+        return build_encoder(Conf(conf, "encoder"), input_dim=6)
+
+    def test_shapes(self):
+        enc = self._build(subsample=2)
+        params = enc.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 15, 6)),
+            jnp.float32,
+        )
+        lengths = jnp.array([15, 8], jnp.int32)
+        out, out_len = enc.apply(params, x, lengths)
+        assert out.shape == (2, 8, 16)
+        np.testing.assert_array_equal(np.asarray(out_len), [8, 4])
+
+    def test_padding_invariance(self):
+        """Valid outputs unchanged under extra padding: masked
+        attention + zeroed conv inputs keep padding out of reach."""
+        enc = self._build()
+        params = enc.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 12, 6)), jnp.float32)
+        lengths = jnp.array([12, 7], jnp.int32)
+        out1, _ = enc.apply(params, x, lengths)
+        x_pad = jnp.pad(x, ((0, 0), (0, 9), (0, 0)))
+        out2, _ = enc.apply(params, x_pad, lengths)
+        np.testing.assert_allclose(
+            np.asarray(out2[:, :12]), np.asarray(out1),
+            rtol=2e-5, atol=2e-6,
+        )
+        assert float(jnp.abs(out2[1, 7:]).max()) == 0.0
+
+    def test_grads_finite_with_remat_and_dropout(self):
+        enc = self._build(remat=True, dropout=0.1)
+        params = enc.init(jax.random.PRNGKey(2))
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 10, 6)),
+            jnp.float32,
+        )
+        lengths = jnp.array([10, 6], jnp.int32)
+
+        @jax.jit
+        def loss(p, key):
+            out, _ = enc.apply(p, x, lengths, train=True, rng=key)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params, jax.random.PRNGKey(3))
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
