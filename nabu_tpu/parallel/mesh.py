@@ -73,9 +73,10 @@ def param_partition_specs(
     """PartitionSpec pytree for a params tree.
 
     Rules (by leaf path/shape):
-      - LSTM/linear kernels [in, out]: shard ``out`` over MODEL_AXIS
-        (the 4H gate axis for LSTMs — each shard computes its gates
-        locally; GSPMD all-gathers the H-sized hidden as needed);
+      - LSTM/linear/attention kernels [in, out] (``wx``/``wh``/``w``/
+        ``wqkv``): shard ``out`` over MODEL_AXIS (the 4H gate axis for
+        LSTMs, the fused QKV axis for transformers — each shard
+        computes its slice locally; GSPMD all-gathers as needed);
       - embedding tables [vocab, dim]: replicated (vocabs are small in
         ASR);
       - biases and small leaves: replicated.
@@ -89,7 +90,7 @@ def param_partition_specs(
         if model_parallel_size > 1 and leaf.shape[-1] % model_parallel_size:
             return P()
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name in ("wx", "wh", "w"):
+        if name in ("wx", "wh", "w", "wqkv"):
             return P(None, MODEL_AXIS)
         return P()
 

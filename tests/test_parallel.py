@@ -285,3 +285,48 @@ class TestShardedDecode:
         got = rec(params, feats, lens)
         for b in range(8):
             assert got.best(b) == ref.best(b)
+
+
+def test_transformer_model_parallel_matches():
+    """Transformer forward under [data=4, model=2] GSPMD sharding
+    (wqkv/ffn kernels sharded over the model axis) equals the
+    replicated single-device result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nabu_tpu.config import Conf
+    from nabu_tpu.models.encoders import build_encoder
+    from nabu_tpu.parallel import mesh as mesh_lib
+
+    enc = build_encoder(Conf({
+        "encoder": "transformer", "num_layers": "2",
+        "num_units": "64", "num_heads": "2", "ffn_dim": "128",
+    }, "encoder"), input_dim=16)
+    params = enc.init(jax.random.PRNGKey(0))
+    batch = _batch(B=8)
+    ref, ref_len = enc.apply(
+        params, batch["features"], batch["feature_lengths"]
+    )
+
+    mesh = mesh_lib.make_mesh(num_data=4, num_model=2)
+    specs = mesh_lib.param_partition_specs(
+        params, model_parallel_size=2, min_shard_size=1
+    )
+    # the big kernels actually shard over the model axis
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    sharded_names = {
+        p[-1].key for p, s in flat if s == jax.sharding.PartitionSpec(
+            None, "model")
+    }
+    assert "wqkv" in sharded_names and "w" in sharded_names
+    sp = mesh_lib.shard_params(mesh, params, specs)
+    feats = jax.device_put(
+        batch["features"], NamedSharding(mesh, P("data"))
+    )
+    lens = jax.device_put(
+        batch["feature_lengths"], NamedSharding(mesh, P("data"))
+    )
+    got, got_len = jax.jit(enc.apply)(sp, feats, lens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got_len), np.asarray(ref_len))
