@@ -540,3 +540,44 @@ class TestConformerEncoder:
         g = jax.grad(loss)(params, jax.random.PRNGKey(3))
         for leaf in jax.tree.leaves(g):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_transformer_joint_ctc_attention_composes():
+    """The new encoder families compose with the multi-head container
+    (joint CTC/attention over a transformer encoder)."""
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.ops.losses import make_loss_computer
+
+    cfg = ConfigFile({
+        "model": Conf({"decoders": "att ctc"}, "model"),
+        "encoder": Conf({
+            "encoder": "conformer", "num_layers": "2",
+            "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+            "kernel_size": "5", "subsample": "2",
+        }, "encoder"),
+        "att": Conf({"decoder": "speller", "num_units": "16",
+                     "embed_dim": "8", "loss": "cross_entropy",
+                     "loss_weight": "0.7"}, "att"),
+        "ctc": Conf({"decoder": "linear_ctc", "loss": "ctc",
+                     "loss_weight": "0.3"}, "ctc"),
+    })
+    model = build_model(cfg, 6, 4)
+    loss_fn = make_loss_computer(model)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "features": jnp.asarray(
+            rng.standard_normal((2, 20, 6)).astype(np.float32)),
+        "feature_lengths": jnp.array([20, 12], jnp.int32),
+        "targets": jnp.asarray(rng.integers(0, 4, (2, 4)), jnp.int32),
+        "target_lengths": jnp.array([4, 3], jnp.int32),
+        "example_mask": jnp.ones((2,), jnp.float32),
+    }
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params, batch, jax.random.PRNGKey(1), True)
+    assert np.isfinite(float(loss))
+    assert "loss/att" in metrics and "loss/ctc" in metrics
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
