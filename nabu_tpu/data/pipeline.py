@@ -218,8 +218,14 @@ class BucketedLoader:
             bucket=bucket,
         )
 
-    def epoch(self, epoch: int, shuffle: bool = True) -> Iterator[Batch]:
-        """Deterministic iterator for one epoch, keyed by (seed, epoch)."""
+    def epoch(
+        self, epoch: int, shuffle: bool = True, skip: int = 0
+    ) -> Iterator[Batch]:
+        """Deterministic iterator for one epoch, keyed by (seed, epoch).
+
+        ``skip`` drops the first n batches of the epoch's schedule
+        BEFORE any data is assembled — resume fast-forward costs
+        nothing."""
         # separate streams: the within-bucket shuffle draws a
         # host-dependent amount of randomness, so the batch-order
         # shuffle gets its own host-invariant stream (all hosts must
@@ -242,7 +248,7 @@ class BucketedLoader:
                 batches.append((b, chunk))
         if shuffle:
             rng.shuffle(batches)
-        for b, chunk in batches:
+        for b, chunk in batches[skip:]:
             yield self._make_batch(chunk, b)
 
     def __iter__(self) -> Iterator[Batch]:
@@ -259,18 +265,13 @@ def batches_forever(
         epoch += 1
 
 
-def prefetch(
-    iterator: Iterator, size: int = 2, to_device: bool = False
-) -> Iterator:
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     """Background-thread prefetch: overlaps host batch assembly (mmap
     reads, padding, copies) with device execution of previous steps.
     The reference got this from TF input queues; here a bounded queue
-    does the same for the numpy loader.
-
-    ``to_device=True`` additionally issues the (async) host->device
-    transfer from the producer thread, so the copy of batch N+1
-    overlaps the device compute of batch N and the jitted step consumes
-    device-resident arrays."""
+    does the same for the numpy loader. Device placement happens in the
+    producer's iterator (the trainer's device_stream does the sharded
+    device_put), so the transfer of batch N+1 also overlaps step N."""
     import queue
     import threading
 
@@ -283,14 +284,6 @@ def prefetch(
         # forever re-opening the stream
         try:
             for item in iterator:
-                if to_device:
-                    import jax
-
-                    item = jax.tree.map(
-                        lambda x: jax.device_put(x)
-                        if hasattr(x, "dtype") else x,
-                        item,
-                    )
                 q.put(item)
             q.put(sentinel)
         except BaseException as e:  # noqa: BLE001 - re-raised in consumer

@@ -63,6 +63,11 @@ def attention_beam_search(
     mask_flat = jnp.repeat(
         sequence_mask(enc_lengths, T), W, axis=0
     )  # [B*W, T]
+    # attention keys are step-invariant: project once, not per step
+    keys_flat = (
+        decoder.precompute(dparams, enc_flat)
+        if hasattr(decoder, "precompute") else None
+    )
 
     # initial state: only beam 0 is live, others start at -inf
     init_scores = jnp.full((B, W), NEG_INF, jnp.float32).at[:, 0].set(0.0)
@@ -93,6 +98,7 @@ def attention_beam_search(
             flat_state,
             enc_flat,
             mask_flat,
+            keys=keys_flat,
         )
         new_state.pop("attn_weights", None)
         new_state = jax.tree.map(

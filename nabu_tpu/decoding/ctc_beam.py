@@ -101,13 +101,9 @@ def ctc_prefix_beam_search(
         stay_pb = ptot + lp_blank  # blank extension
         lp_last = jnp.where(
             last >= 0,
-            jnp.take_along_axis(
-                lp[:, None, :].repeat(W, 1),
-                jnp.maximum(last, 0)[..., None],
-                axis=2,
-            )[..., 0],
+            jnp.take_along_axis(lp, jnp.maximum(last, 0), axis=-1),
             NEG_INF,
-        )  # [B, W]
+        )  # [B, W] — gather per beam, no [B, W, V] materialization
         stay_pnb = pnb + lp_last  # repeat last symbol (merges into prefix)
 
         # --- extension candidates [B, W, V-1] ----------------------------
@@ -181,12 +177,16 @@ def ctc_prefix_beam_search(
         old_len = jnp.take_along_axis(state["lengths"], parent, axis=1)
         old_last = jnp.take_along_axis(last, parent, axis=1)
         is_ext = tok >= 0
+        # at capacity (old_len == Lmax) the stored prefix truncates: do
+        # NOT overwrite its last token with later extensions (scoring
+        # stays exact via the hashes; only storage is truncated)
+        can_write = is_ext & (old_len < Lmax)
         write_pos = jnp.minimum(old_len, Lmax - 1)
         onehot = (
             jnp.arange(Lmax)[None, None, :] == write_pos[..., None]
         )
         new_seqs = jnp.where(
-            is_ext[..., None] & onehot, tok[..., None], old_seqs
+            can_write[..., None] & onehot, tok[..., None], old_seqs
         )
         new_len = jnp.where(
             is_ext & (old_len < Lmax), old_len + 1, old_len

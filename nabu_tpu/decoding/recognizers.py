@@ -121,11 +121,15 @@ class AttentionGreedyRecognizer(Recognizer):
         max_steps = self.max_steps or max(
             int(T * self.length_ratio), 8
         )
+        keys = (
+            dec.precompute(dparams, encoded)
+            if hasattr(dec, "precompute") else None
+        )
 
         def step_fn(carry, _):
             prev, state, finished, score = carry
             logits, new_state = dec.step(
-                dparams, prev, state, encoded, enc_mask
+                dparams, prev, state, encoded, enc_mask, keys=keys
             )
             new_state.pop("attn_weights", None)
             # score in float32 regardless of compute dtype

@@ -157,6 +157,11 @@ class Speller(Decoder):
         context = jnp.einsum("bt,btd->bd", weights, encoded)
         return context, weights
 
+    def precompute(self, params, encoded):
+        """Step-invariant attention keys (W_enc @ encoded), computed
+        once outside a decode loop and passed to every step()."""
+        return core.linear_apply(params["attn_enc"], encoded)
+
     # -- one autoregressive step ----------------------------------------
     def step(
         self,

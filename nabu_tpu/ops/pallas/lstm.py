@@ -274,7 +274,14 @@ def lstm_scan_pallas(
     block_t=16,
 ):
     """Drop-in replacement for models.core.lstm_scan using the fused
-    kernel. x [B, T, D] -> [B, T, H]."""
+    kernel. x [B, T, D] -> [B, T, H], in x's dtype.
+
+    The kernel itself is float32 (this is the earlier single-direction
+    iteration; the maintained mixed-precision kernels are in blstm.py),
+    so non-f32 inputs are upcast around the custom-VJP boundary — the
+    casts are differentiable, keeping cotangent dtypes consistent.
+    """
+    in_dtype = x.dtype
     B, T, _ = x.shape
     mask = (
         jnp.arange(T, dtype=lengths.dtype)[None, :] < lengths[:, None]
@@ -285,9 +292,10 @@ def lstm_scan_pallas(
     xw = (x @ p["wx"] + p["b"]).swapaxes(0, 1)  # [T, B, 4H]
     mask_t = mask.swapaxes(0, 1).astype(jnp.float32)
     ys = lstm_seq_pallas(
-        xw, mask_t, p["wh"], forget_bias, interpret, block_t
+        xw.astype(jnp.float32), mask_t,
+        p["wh"].astype(jnp.float32), forget_bias, interpret, block_t,
     )
-    ys = ys.swapaxes(0, 1)
+    ys = ys.swapaxes(0, 1).astype(in_dtype)
     if reverse:
         ys = jnp.flip(ys, axis=1)
     return ys

@@ -104,6 +104,12 @@ class Trainer:
         # only scales the effective batch.
         self.num_aggregate = max(1, conf.getint("numbatches_to_aggregate", 1))
 
+        if loader.num_batches() == 0:
+            raise ValueError(
+                "loader yields zero batches (dataset smaller than "
+                "num_hosts * batch_size in every bucket?) — training "
+                "would spin forever"
+            )
         self.num_steps = conf.getint("num_steps", 0)
         if not self.num_steps:
             # aggregation may span epoch boundaries, so num_epochs means
@@ -246,6 +252,7 @@ class Trainer:
         epoch = micro_total // num_batches
         skip = micro_total % num_batches
         accum = None  # pending gradient sum (num_aggregate > 1)
+        tracing = False  # a jax.profiler trace window is open
         msum = None  # pending metric sums
         micro = 0  # micro-batches accumulated so far
         stop = False
@@ -257,12 +264,11 @@ class Trainer:
         def device_stream(epoch_idx: int, skip_n: int):
             """Sharded, device-resident batches; the (async) transfer of
             batch N+1 runs in the prefetch thread while the device
-            executes step N."""
-            for i, batch in enumerate(
-                self.loader.epoch(epoch_idx, shuffle=True)
+            executes step N. ``skip_n`` skips schedule entries before
+            assembly (free resume fast-forward)."""
+            for batch in self.loader.epoch(
+                epoch_idx, shuffle=True, skip=skip_n
             ):
-                if i < skip_n:
-                    continue
                 arrays = mesh_lib.shard_batch(
                     self.mesh, batch_to_arrays(batch)
                 )
@@ -278,8 +284,10 @@ class Trainer:
                     self.profile_stop
                     and step == self.profile_start
                     and micro == 0
+                    and not tracing
                 ):
                     jax.profiler.start_trace(f"{self.expdir}/profile")
+                    tracing = True
                 frames_since_log += num_audio_frames
                 if self.num_aggregate == 1:
                     rng = jax.random.fold_in(base_rng, step)
@@ -313,8 +321,9 @@ class Trainer:
                     metrics["grad_norm"] = gnorm
                     accum, msum, micro = None, None, 0
                 step += 1
-                if self.profile_stop and step == self.profile_stop:
+                if tracing and step >= self.profile_stop:
                     jax.profiler.stop_trace()
+                    tracing = False
 
                 if step % self.log_frequency == 0 or step == self.num_steps:
                     metrics = jax.device_get(metrics)
@@ -373,11 +382,15 @@ class Trainer:
                     elif self.early_stopping:
                         tries += 1
                         if self.ckpt.exists("best"):
+                            # the live (possibly sharded, multi-host)
+                            # arrays serve as the restore TEMPLATE —
+                            # orbax reads shape/dtype only, so no
+                            # device_get of non-addressable globals
                             best = self.ckpt.restore(
                                 "best",
                                 {
-                                    "params": jax.device_get(params),
-                                    "opt_state": jax.device_get(opt_state),
+                                    "params": params,
+                                    "opt_state": opt_state,
                                     "step": np.int64(0),
                                     "metric": np.float32(0),
                                 },
@@ -401,6 +414,10 @@ class Trainer:
             epoch += 1
             skip = 0  # resume fast-forward applies to the first epoch only
 
+        if tracing:
+            # training ended inside the profile window (early stop /
+            # num_steps): finalize so the trace is not lost
+            jax.profiler.stop_trace()
         self._save_latest(
             params, opt_state, step, lr_scale, best_metric, tries
         )

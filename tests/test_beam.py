@@ -353,3 +353,35 @@ class TestBf16Decode:
         out = rec(params, feats, np.asarray([9, 5], np.int32))
         assert out.ids.shape[0] == 2
         assert np.isfinite(out.scores).all()
+
+
+def test_ctc_beam_truncates_at_max_label_len():
+    """Regression: when a prefix reaches max_label_len, later extensions
+    must not overwrite the stored last token — output is the first
+    max_label_len labels of the decoded sequence."""
+    import jax.numpy as jnp
+
+    from nabu_tpu.decoding.ctc_beam import ctc_prefix_beam_search
+
+    V, blank = 4, 3  # tokens 0..2 + blank
+    # force emission 0, blank, 1, blank, 2 (blanks separate tokens)
+    seq = [0, blank, 1, blank, 2]
+    logits = np.full((1, len(seq), V), -10.0, np.float32)
+    for t, s in enumerate(seq):
+        logits[0, t, s] = 0.0
+    logprobs = jnp.asarray(logits) - jnp.asarray(
+        np.log(np.exp(logits).sum(-1, keepdims=True))
+    )
+    lengths = jnp.array([len(seq)], jnp.int32)
+
+    full = ctc_prefix_beam_search(logprobs, lengths, 4, blank,
+                                  max_label_len=8)
+    seqs, lens, scores = full[0], full[1], full[2]
+    best = list(np.asarray(seqs)[0, 0, : int(np.asarray(lens)[0, 0])])
+    assert best == [0, 1, 2]
+
+    trunc = ctc_prefix_beam_search(logprobs, lengths, 4, blank,
+                                   max_label_len=2)
+    seqs, lens = trunc[0], trunc[1]
+    best = list(np.asarray(seqs)[0, 0, : int(np.asarray(lens)[0, 0])])
+    assert best == [0, 1], best  # first two labels, not [0, 2]

@@ -326,3 +326,33 @@ class TestCTCBatched:
                 np.testing.assert_allclose(
                     np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4
                 )
+
+
+def test_lstm_scan_pallas_bf16_inputs():
+    """The single-direction fused LSTM accepts bf16 inputs (upcast
+    around the f32 kernel) and returns grads in the input dtypes."""
+    from nabu_tpu.models import core
+    from nabu_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+    key = jax.random.PRNGKey(5)
+    p32 = core.lstm_init(key, 5, 6)
+    p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p32)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 9, 5)),
+        jnp.bfloat16,
+    )
+    lengths = jnp.array([9, 4])
+
+    def loss(p, x):
+        return (
+            lstm_scan_pallas(p, x, lengths, interpret=True, block_t=4)
+            .astype(jnp.float32) ** 2
+        ).sum()
+
+    out = lstm_scan_pallas(p, x, lengths, interpret=True, block_t=4)
+    assert out.dtype == jnp.bfloat16
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+    assert gx.dtype == jnp.bfloat16
+    for leaf in jax.tree.leaves(gp):
+        assert leaf.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
