@@ -155,6 +155,34 @@ def test_train_computing_ssh_stub(tmp_path, monkeypatch):
     assert "--coordinator=host-a:1234" in calls[1]
 
 
+def test_synth_corpus_demo(tmp_path):
+    """`python -m nabu_tpu.tools.synth_corpus` writes a runnable corpus
+    plus recipe: data prep and a short train run work out of the box."""
+    from nabu_tpu.scripts import data as data_script
+    from nabu_tpu.scripts import train as train_script
+    from nabu_tpu.tools import synth_corpus
+
+    out = str(tmp_path / "demo")
+    rc = synth_corpus.main([
+        "--out", out, "--num_train", "8", "--num_dev", "4",
+        "--num_test", "4", "--num_steps", "3",
+    ])
+    assert rc == 0
+    recipe = os.path.join(out, "recipe")
+    for cfg in ("database.conf", "model.cfg", "trainer.cfg",
+                "validation_evaluator.cfg", "test_evaluator.cfg",
+                "recognizer.cfg"):
+        assert os.path.exists(os.path.join(recipe, cfg))
+    expdir = str(tmp_path / "exp")
+    data_script.main(recipe, expdir)
+    from nabu_tpu.data.storage import ShardedDataset
+
+    ds = ShardedDataset(os.path.join(expdir, "data", "trainfeatures"))
+    assert ds.metadata["num_utts"] == 8 and ds.metadata["dim"] == 40
+    train_script.main(recipe, expdir)
+    assert os.path.exists(os.path.join(expdir, "checkpoints"))
+
+
 def test_kill_computing_ssh_stub(tmp_path, monkeypatch):
     """`run kill --computing=ssh` kills by recorded pidfile, per host."""
     import stat
