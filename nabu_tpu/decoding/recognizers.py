@@ -266,6 +266,102 @@ class CTCBeamRecognizer(Recognizer):
         )
 
 
+@RECOGNIZERS.register("transducer_greedy")
+@RECOGNIZERS.register("rnnt_greedy")
+class TransducerGreedyRecognizer(Recognizer):
+    """Batched RNN-T greedy search over a transducer head (beyond-parity;
+    decoding/transducer.py). conf: max_symbols (per-frame emission
+    budget, default 4), max_label_len (output cap)."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        if not hasattr(self.decoder, "joint_step"):
+            raise ValueError(
+                f"head {self.head!r} is not a transducer head"
+            )
+        self.max_symbols = conf.getint("max_symbols", 4)
+        self.max_label_len = conf.getint("max_label_len", 0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        from nabu_tpu.decoding.transducer import transducer_greedy_search
+
+        encoded, enc_lengths = self.model.encode(
+            params, features, feature_lengths
+        )
+        return transducer_greedy_search(
+            self.decoder,
+            self.model._cast_in(params["decoders"][self.head]),
+            encoded,
+            enc_lengths,
+            max_symbols=self.max_symbols,
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        ids, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        ids, lengths = np.asarray(ids), np.asarray(lengths)
+        if self.max_label_len and ids.shape[1] > self.max_label_len:
+            ids = ids[:, : self.max_label_len]
+            lengths = np.minimum(lengths, self.max_label_len)
+        return Nbest(
+            ids=ids[:, None, :],
+            lengths=lengths[:, None],
+            scores=np.asarray(scores)[:, None],
+        )
+
+
+@RECOGNIZERS.register("transducer_beam")
+@RECOGNIZERS.register("rnnt_beam")
+class TransducerBeamRecognizer(Recognizer):
+    """Batched time-synchronous RNN-T beam search (beyond-parity;
+    decoding/transducer.py). conf: beam_width, nbest, max_symbols,
+    length_norm_power, max_label_len."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        if not hasattr(self.decoder, "joint_step"):
+            raise ValueError(
+                f"head {self.head!r} is not a transducer head"
+            )
+        self.beam_width = conf.getint("beam_width", 4)
+        self.nbest = min(conf.getint("nbest", 1), self.beam_width)
+        self.max_symbols = conf.getint("max_symbols", 4)
+        self.length_norm_power = conf.getfloat("length_norm_power", 0.0)
+        self.max_label_len = conf.getint("max_label_len", 0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        from nabu_tpu.decoding.transducer import transducer_beam_search
+
+        encoded, enc_lengths = self.model.encode(
+            params, features, feature_lengths
+        )
+        return transducer_beam_search(
+            self.decoder,
+            self.model._cast_in(params["decoders"][self.head]),
+            encoded,
+            enc_lengths,
+            beam_width=self.beam_width,
+            max_symbols=self.max_symbols,
+            length_norm_power=self.length_norm_power,
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        seqs, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        n = self.nbest
+        seqs, lengths = np.asarray(seqs)[:, :n], np.asarray(lengths)[:, :n]
+        if self.max_label_len and seqs.shape[2] > self.max_label_len:
+            seqs = seqs[:, :, : self.max_label_len]
+            lengths = np.minimum(lengths, self.max_label_len)
+        return Nbest(
+            ids=seqs, lengths=lengths, scores=np.asarray(scores)[:, :n]
+        )
+
+
 def build_recognizer(conf: Conf, model) -> Recognizer:
     """Factory by conf['recognizer'] (reference: decoder_factory.py)."""
     return RECOGNIZERS.build(conf.get("recognizer", "ctc_greedy"), conf, model)

@@ -9,4 +9,5 @@ hyperparameters; ``init(key) -> params`` builds a nested-dict pytree and
 
 from nabu_tpu.models import encoders as _encoders  # noqa: F401 (registers)
 from nabu_tpu.models import decoders as _decoders  # noqa: F401 (registers)
+from nabu_tpu.models import transducer as _transducer  # noqa: F401 (registers)
 from nabu_tpu.models.model import Model, build_model  # noqa: F401

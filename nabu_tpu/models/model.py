@@ -58,9 +58,13 @@ class Model:
     # loss spec per head: (loss name, weight)
     def head_loss(self, name: str) -> Tuple[str, float]:
         conf = self.head_confs[name]
-        default = (
-            "ctc" if conf.get("decoder", "").endswith("ctc") else "cross_entropy"
-        )
+        dec = conf.get("decoder", "")
+        if dec.endswith("ctc"):
+            default = "ctc"
+        elif dec in ("rnnt", "transducer"):
+            default = "transducer"
+        else:
+            default = "cross_entropy"
         return conf.get("loss", default), conf.getfloat("loss_weight", 1.0)
 
     def init(self, key) -> dict:

@@ -100,6 +100,37 @@ def cross_entropy_loss_fn(
     return loss, {"token_accuracy": acc}
 
 
+@LOSSES.register("transducer")
+@LOSSES.register("rnnt")
+def transducer_loss_fn(
+    logits: jnp.ndarray,  # [B, T, U+1, V+1] joint lattice
+    logit_lengths: jnp.ndarray,  # [B] valid encoder frames
+    targets: jnp.ndarray,  # [B, U]
+    target_lengths: jnp.ndarray,
+    example_mask: jnp.ndarray,
+    label_smoothing: float = 0.0,
+    blank_id: int | None = None,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Mean per-example RNN-T negative log likelihood (ops/transducer.py).
+
+    Beyond-parity loss for the transducer head (models/transducer.py);
+    ``use_pallas`` is accepted for signature parity (no kernel variant
+    yet — the lattice forward is a single vectorised lax.scan)."""
+    del label_smoothing, use_pallas
+    from nabu_tpu.ops.transducer import transducer_loss
+
+    nll = transducer_loss(
+        logits, logit_lengths, targets, target_lengths, blank_id
+    )  # [B]
+    denom = jnp.maximum(example_mask.sum(), 1.0)
+    loss = jnp.sum(nll * example_mask) / denom
+    frames = jnp.maximum(jnp.sum(logit_lengths * example_mask), 1.0)
+    return loss, {
+        "transducer_nll_per_frame": jnp.sum(nll * example_mask) / frames
+    }
+
+
 def make_loss_computer(model) -> Callable:
     """Build the multi-head weighted loss for a Model.
 
