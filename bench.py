@@ -70,6 +70,22 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
                 "loss_weight": "0.3",
             }, "ctc"),
         })
+    elif arch == "rnnt":
+        # beyond-parity transducer family: pyramidal listener (time/4
+        # keeps the joint lattice small) + prediction/joint networks
+        cfg = ConfigFile({
+            "model": Conf({"compute_dtype": compute_dtype}, "model"),
+            "encoder": Conf({
+                "encoder": "listener", "num_layers": "2",
+                "num_units": "320",
+                "use_pallas": str(use_pallas_lstm).lower(),
+            }, "encoder"),
+            "decoder": Conf({
+                "decoder": "rnnt", "num_layers": "1",
+                "num_units": "320", "embed_dim": "128",
+                "joint_units": "320", "loss": "transducer",
+            }, "decoder"),
+        })
     else:
         cfg = ConfigFile({
             "model": Conf({"compute_dtype": compute_dtype}, "model"),
@@ -244,17 +260,44 @@ def time_attention_decode(model, params, batch, beam_width, steps,
     return sorted(rtfs)[len(rtfs) // 2]
 
 
+def time_transducer_decode(model, params, batch, beam_width, steps,
+                           repeats):
+    """Median RNN-T time-synchronous beam-search decode RTF."""
+    import jax.numpy as jnp
+
+    from nabu_tpu.config import Conf
+    from nabu_tpu.decoding.recognizers import TransducerBeamRecognizer
+
+    rec = TransducerBeamRecognizer(
+        Conf({"beam_width": str(beam_width)}, "recognizer"), model
+    )
+    feats = jnp.asarray(batch["features"])
+    flen = jnp.asarray(batch["feature_lengths"])
+
+    rec(params, feats, flen)
+    audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
+    rtfs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rec(params, feats, flen)
+        rtfs.append((time.perf_counter() - t0) / audio_s)
+    return sorted(rtfs)[len(rtfs) // 2]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["train", "decode"],
                         default="train")
     parser.add_argument("--model",
-                        choices=["dblstm", "las", "transformer", "conformer"],
+                        choices=["dblstm", "las", "transformer",
+                                 "conformer", "rnnt"],
                         default="dblstm",
                         help="dblstm = BASELINE config 2 CTC workhorse; "
                              "las = config 4/5 joint CTC/attention; "
                              "transformer/conformer = beyond-parity 6x512 "
-                             "self-attention CTC encoders")
+                             "self-attention CTC encoders; "
+                             "rnnt = beyond-parity transducer family")
     parser.add_argument("--beam_width", type=int, default=8)
     parser.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu)")
@@ -302,6 +345,12 @@ def main():
                 max(args.steps // 4, 1), args.repeats,
             )
             metric = "attention_beam_decode_rtf"
+        elif args.model == "rnnt":
+            rtf = time_transducer_decode(
+                model, params, batch, args.beam_width,
+                max(args.steps // 4, 1), args.repeats,
+            )
+            metric = "transducer_beam_decode_rtf"
         else:
             head = "decoder" if "decoder" in model.decoders else "ctc"
             rtf = time_decode(

@@ -50,3 +50,14 @@ def test_las_mode_smoke():
 def test_transformer_mode_smoke():
     rec = _run_bench("--model", "transformer", "--skip_baseline")
     assert rec["value"] > 0
+
+
+def test_rnnt_mode_smoke():
+    rec = _run_bench("--model", "rnnt", "--skip_baseline")
+    assert rec["value"] > 0
+
+
+def test_rnnt_decode_mode_smoke():
+    rec = _run_bench("--model", "rnnt", "--mode", "decode",
+                     "--skip_baseline", "--beam_width", "2")
+    assert rec["metric"] == "transducer_beam_decode_rtf"

@@ -330,3 +330,75 @@ def test_transformer_model_parallel_matches():
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
     )
     np.testing.assert_array_equal(np.asarray(got_len), np.asarray(ref_len))
+
+
+def _rnnt_model():
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.ops.losses import make_loss_computer
+
+    cfg = ConfigFile({
+        "encoder": Conf({
+            "encoder": "listener", "num_layers": "1", "num_units": "32",
+        }, "encoder"),
+        "decoder": Conf({
+            "decoder": "rnnt", "num_units": "24", "embed_dim": "8",
+            "joint_units": "16",
+        }, "decoder"),
+    })
+    model = build_model(cfg, input_dim=16, num_labels=8)
+    return model, make_loss_computer(model)
+
+
+class TestTransducerSharding:
+    """The RNN-T head (4-D joint lattice, scan-over-time loss) must be
+    GSPMD-transparent like the CTC/attention heads."""
+
+    def test_data_parallel_grads_match(self):
+        model, loss_fn = _rnnt_model()
+        params = model.init(jax.random.PRNGKey(0))
+        batch_host = _batch()
+        rng = jax.random.PRNGKey(7)
+
+        def loss_of(params, batch):
+            return loss_fn(params, batch, rng, False)[0]
+
+        l_ref, g_ref = jax.value_and_grad(loss_of)(
+            params, jax.tree.map(jnp.asarray, batch_host)
+        )
+        mesh = mesh_lib.make_mesh()
+        params_s = mesh_lib.shard_params(mesh, params)
+        batch_s = mesh_lib.shard_batch(mesh, batch_host)
+        l_par, g_par = jax.jit(jax.value_and_grad(loss_of))(
+            params_s, batch_s
+        )
+        np.testing.assert_allclose(float(l_par), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_par), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_beam_sharded_matches(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.decoding.recognizers import build_recognizer
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        model, _ = _rnnt_model()
+        params = model.init(jax.random.PRNGKey(1))
+        batch = _batch(B=8)
+        rec = build_recognizer(
+            Conf({"recognizer": "transducer_beam", "beam_width": "3",
+                  "max_symbols": "2"}), model
+        )
+        ref = rec(params, batch["features"], batch["feature_lengths"])
+
+        mesh = mesh_lib.make_mesh()
+        feats = jax.device_put(
+            batch["features"], NamedSharding(mesh, P("data"))
+        )
+        lens = jax.device_put(
+            batch["feature_lengths"], NamedSharding(mesh, P("data"))
+        )
+        got = rec(params, feats, lens)
+        for b in range(8):
+            assert got.best(b) == ref.best(b)
