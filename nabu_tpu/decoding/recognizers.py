@@ -312,6 +312,27 @@ class TransducerGreedyRecognizer(Recognizer):
         )
 
 
+def _distinct_first_order(seqs: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-row beam reordering that moves duplicate label sequences
+    behind the distinct ones (stable within each group).
+
+    An alignment-path beam (transducer_beam_search) can hold the same
+    label sequence in several slots via different blank placements;
+    slicing its top-n as "n-best" would then under-deliver distinct
+    hypotheses. Returns order [B, W] of slot indices.
+    """
+    B, W = lengths.shape
+    order = np.empty((B, W), np.int64)
+    for b in range(B):
+        seen, distinct, dups = set(), [], []
+        for w in range(W):
+            key = tuple(seqs[b, w, : lengths[b, w]])
+            (dups if key in seen else distinct).append(w)
+            seen.add(key)
+        order[b] = distinct + dups
+    return order
+
+
 @RECOGNIZERS.register("transducer_beam")
 @RECOGNIZERS.register("rnnt_beam")
 class TransducerBeamRecognizer(Recognizer):
@@ -352,14 +373,17 @@ class TransducerBeamRecognizer(Recognizer):
         seqs, lengths, scores = self._decode(
             params, jnp.asarray(features), jnp.asarray(feature_lengths)
         )
-        n = self.nbest
-        seqs, lengths = np.asarray(seqs)[:, :n], np.asarray(lengths)[:, :n]
+        seqs, lengths, scores = (
+            np.asarray(seqs), np.asarray(lengths), np.asarray(scores)
+        )
+        take = _distinct_first_order(seqs, lengths)[:, : self.nbest]
+        seqs = np.take_along_axis(seqs, take[..., None], axis=1)
+        lengths = np.take_along_axis(lengths, take, axis=1)
+        scores = np.take_along_axis(scores, take, axis=1)
         if self.max_label_len and seqs.shape[2] > self.max_label_len:
             seqs = seqs[:, :, : self.max_label_len]
             lengths = np.minimum(lengths, self.max_label_len)
-        return Nbest(
-            ids=seqs, lengths=lengths, scores=np.asarray(scores)[:, :n]
-        )
+        return Nbest(ids=seqs, lengths=lengths, scores=scores)
 
 
 def build_recognizer(conf: Conf, model) -> Recognizer:

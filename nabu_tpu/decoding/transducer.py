@@ -21,6 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from nabu_tpu.decoding.beam import _gather_beams
 from nabu_tpu.ops.masking import sequence_mask
 
 
@@ -120,8 +121,9 @@ def transducer_beam_search(
     W * (V+1) candidates (noop + V joint actions).
 
     Returns (seqs [B, W, T*max_symbols], lengths [B, W], scores [B, W]),
-    hypotheses sorted best-first (after optional length normalization
-    score / max(len, 1)^power).
+    hypotheses sorted best-first. ``length_norm_power`` only changes the
+    RANKING key (score / max(len, 1)^power); the returned scores are
+    always raw path log-probs, like every other recognizer.
     """
     B, T, _ = encoded.shape
     W = beam_width
@@ -178,10 +180,10 @@ def transducer_beam_search(
             nV = logits.shape[-1]
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             # candidates [B, W, 1 + nV]: col 0 = noop, col 1+v = action v
+            # (at an invalid frame open_ is False everywhere, so every
+            # hypothesis noops and the beam passes through unchanged)
             noop = jnp.where(open_, NEG, 0.0) + carry["score"]
             acts = jnp.where(open_[..., None], lp, NEG) + carry["score"][..., None]
-            # lanes at an invalid frame: noop for every hyp, no actions
-            noop = jnp.where(valid[:, None], noop, carry["score"])
             cand = jnp.concatenate([noop[..., None], acts], axis=-1)
             flat = cand.reshape(B, W * (1 + nV))
             top_score, top_idx = jax.lax.top_k(flat, W)  # sorted desc
@@ -189,16 +191,13 @@ def transducer_beam_search(
             action = top_idx % (1 + nV)  # 0 = noop, else v+1
             tok = (action - 1).astype(jnp.int32)
             is_emit = (action >= 1) & (tok != blank)
-            # gather parent state
-            gather = lambda x: jnp.take_along_axis(
-                x,
-                parent.reshape((B, W) + (1,) * (x.ndim - 2)),
-                axis=1,
+            # gather parent state (shared beam-reindexing helper)
+            pred, state, seqs, lens = (
+                _gather_beams(carry["pred"], parent),
+                _gather_beams(carry["state"], parent),
+                _gather_beams(carry["seqs"], parent),
+                _gather_beams(carry["lens"], parent),
             )
-            pred = gather(carry["pred"])
-            state = jax.tree.map(gather, carry["state"])
-            seqs = gather(carry["seqs"])
-            lens = jnp.take_along_axis(carry["lens"], parent, axis=1)
             open_ = is_emit  # blank and noop both close the frame
             # append emitted tokens at position lens
             pos = jnp.arange(L)[None, None, :]
@@ -228,15 +227,17 @@ def transducer_beam_search(
     mask_t = jnp.swapaxes(enc_mask, 0, 1)  # [T, B]
     carry, _ = jax.lax.scan(frame_step, carry0, (enc_proj_t, mask_t))
 
+    # rank by normalized score but return RAW path log-probs — the same
+    # score contract as attention_beam_search and the other recognizers
     scores = carry["score"]
     if length_norm_power > 0.0:
         norm = jnp.maximum(carry["lens"].astype(jnp.float32), 1.0)
-        ranked = scores / norm**length_norm_power
+        rank_key = scores / norm**length_norm_power
     else:
-        ranked = scores
-    order = jnp.argsort(-ranked, axis=1)
+        rank_key = scores
+    order = jnp.argsort(-rank_key, axis=1)
     return (
-        jnp.take_along_axis(carry["seqs"], order[..., None], axis=1),
+        _gather_beams(carry["seqs"], order),
         jnp.take_along_axis(carry["lens"], order, axis=1),
-        jnp.take_along_axis(ranked, order, axis=1),
+        jnp.take_along_axis(scores, order, axis=1),
     )

@@ -28,7 +28,13 @@ from nabu_tpu.registry import DECODERS
 
 
 class Decoder:
-    """Base decoder built from a config section."""
+    """Base decoder built from a config section.
+
+    ``default_loss`` is the loss the head trains with when its config
+    section has no ``loss`` key (consulted by Model.head_loss).
+    """
+
+    default_loss = "cross_entropy"
 
     def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
         self.conf = conf
@@ -46,6 +52,8 @@ class LinearCTC(Decoder):
     """Per-frame projection of encoder output to label+blank posteriors —
     the "decoder" of CTC models (reference: ed_decoders linear/DNN
     decoder). blank = num_labels (last)."""
+
+    default_loss = "ctc"
 
     def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
         super().__init__(conf, encoder_dim, num_labels)

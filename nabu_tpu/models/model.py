@@ -58,13 +58,12 @@ class Model:
     # loss spec per head: (loss name, weight)
     def head_loss(self, name: str) -> Tuple[str, float]:
         conf = self.head_confs[name]
-        dec = conf.get("decoder", "")
-        if dec.endswith("ctc"):
-            default = "ctc"
-        elif dec in ("rnnt", "transducer"):
-            default = "transducer"
-        else:
-            default = "cross_entropy"
+        # each Decoder class declares its natural loss (default_loss),
+        # so new decoder names/aliases never fall through to the wrong
+        # loss; the config's ``loss`` key still overrides
+        default = getattr(
+            self.decoders[name], "default_loss", "cross_entropy"
+        )
         return conf.get("loss", default), conf.getfloat("loss_weight", 1.0)
 
     def init(self, key) -> dict:

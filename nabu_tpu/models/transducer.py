@@ -47,6 +47,8 @@ PredState = List[Tuple[jnp.ndarray, jnp.ndarray]]
 class TransducerDecoder(Decoder):
     """Prediction LSTM stack + additive-tanh joint network (Graves 2012)."""
 
+    default_loss = "transducer"
+
     def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
         super().__init__(conf, encoder_dim, num_labels)
         self.num_layers = conf.getint("num_layers", 1)

@@ -407,6 +407,38 @@ class TestBeamSearch:
             )
             assert abs(float(b_scores[b, 0]) - float(g_scores[b])) < 1e-4
 
+    def test_length_norm_changes_ranking_not_scores(self):
+        """length_norm_power re-ranks but returned scores stay raw."""
+        from nabu_tpu.decoding.transducer import transducer_beam_search
+
+        dec, params = self._tiny_model(V=4, D=5, seed=11)
+        rng = np.random.RandomState(12)
+        enc = (rng.randn(2, 4, 5) * 2).astype(np.float32)
+        lens = jnp.asarray([4, 3], np.int32)
+        s_raw = transducer_beam_search(
+            dec, params, jnp.asarray(enc), lens, beam_width=4,
+            max_symbols=2,
+        )
+        s_norm = transducer_beam_search(
+            dec, params, jnp.asarray(enc), lens, beam_width=4,
+            max_symbols=2, length_norm_power=1.0,
+        )
+        # same multiset of raw path scores, possibly re-ranked
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s_raw[2]), axis=1),
+            np.sort(np.asarray(s_norm[2]), axis=1),
+            atol=1e-5,
+        )
+
+    def test_distinct_first_order(self):
+        from nabu_tpu.decoding.recognizers import _distinct_first_order
+
+        seqs = np.array([[[1, 2, 0], [1, 2, 9], [3, 0, 0], [1, 2, 0]]])
+        lengths = np.array([[2, 2, 1, 3]])
+        order = _distinct_first_order(seqs, lengths)
+        # slot 1 duplicates slot 0 ([1,2]); slot 3 is distinct ([1,2,0])
+        assert list(order[0]) == [0, 2, 3, 1]
+
     def test_nbest_sorted_and_distinct_scores(self):
         from nabu_tpu.decoding.transducer import transducer_beam_search
 
