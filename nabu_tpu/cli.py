@@ -62,6 +62,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("sweep", help="train model variants from a sweep file")
     common(sp)
     sp.add_argument("--sweep", required=True, help="sweep file")
+
+    sp = sub.add_parser(
+        "lm", help="train an n-gram LM from the training transcriptions"
+    )
+    common(sp)
+    sp.add_argument("--order", type=int, default=3)
+    sp.add_argument("--targets", default="traintargets",
+                    help="database.conf targets section to train on")
+
+    sp = sub.add_parser(
+        "rescore", help="LM-rescore a decoded n-best list"
+    )
+    common(sp)
+    sp.add_argument("--lm", default=None, help="LM .npz (from `run lm`)")
+    sp.add_argument("--lm_weight", type=float, default=0.3)
+    sp.add_argument("--length_bonus", type=float, default=0.0)
     return p
 
 
@@ -191,6 +207,17 @@ def main(argv=None) -> int:
         from nabu_tpu.scripts import sweep
 
         sweep.main(args.recipe, args.expdir, args.sweep)
+    elif args.command == "lm":
+        from nabu_tpu.scripts import lm
+
+        lm.main(args.recipe, args.expdir, args.order, args.targets)
+    elif args.command == "rescore":
+        from nabu_tpu.scripts import rescore
+
+        rescore.main(
+            args.recipe, args.expdir, args.lm, args.lm_weight,
+            args.length_bonus,
+        )
     return 0
 
 

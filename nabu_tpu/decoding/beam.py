@@ -49,10 +49,17 @@ def attention_beam_search(
     max_steps: int,
     length_norm_power: float = 0.0,
     eos_bonus: float = 0.0,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (seqs [B, W, max_steps], lengths [B, W], scores [B, W]),
     beams sorted best-first by length-normalized score. ``decoder`` is a
-    Speller-like object with step()/init_state()/sos_id/eos_id."""
+    Speller-like object with step()/init_state()/sos_id/eos_id.
+
+    ``lm`` (a decoding.lm.DenseLM over the same vocab, eos included)
+    enables shallow fusion: every candidate token's score gains
+    ``lm_weight * log p_lm(token | history)``; the LM context rides the
+    beam as one int32 per hypothesis."""
     B, T, D = encoded.shape
     W = beam_width
     V = decoder.output_dim
@@ -83,6 +90,9 @@ def attention_beam_search(
         ),
         "t": jnp.int32(0),
     }
+    fuse = lm is not None and lm_weight != 0.0
+    if fuse:
+        init["lm_state"] = lm.init_state((B, W))
 
     def cond(s):
         return (s["t"] < max_steps) & ~jnp.all(s["finished"])
@@ -110,6 +120,8 @@ def attention_beam_search(
         )
         if eos_bonus:
             logprobs = logprobs.at[..., eos].add(eos_bonus)
+        if fuse:
+            logprobs = logprobs + lm_weight * lm.logprobs(s["lm_state"])
 
         # finished beams may only "extend" with eos at zero cost
         frozen = jnp.full((B, W, V), NEG_INF).at[..., eos].set(0.0)
@@ -137,16 +149,22 @@ def attention_beam_search(
         lengths = jnp.where(
             write & (token != eos), lengths + 1, lengths
         )
-        finished = finished | (token == eos)
-        return {
+        new = {
             "seqs": seqs,
             "scores": top_scores,
-            "finished": finished,
+            "finished": finished | (token == eos),
             "lengths": lengths,
             "prev": token,
             "state": state,
             "t": t + 1,
         }
+        if fuse:
+            # context advances only while the hypothesis is live
+            lm_state = _gather_beams(s["lm_state"], parent)
+            new["lm_state"] = jnp.where(
+                finished, lm_state, lm.step(lm_state, token)
+            )
+        return new
 
     final = jax.lax.while_loop(cond, body, init)
 

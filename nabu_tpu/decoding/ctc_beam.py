@@ -62,12 +62,20 @@ def ctc_prefix_beam_search(
     beam_width: int,
     blank_id: int,
     max_label_len: int | None = None,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (seqs [B, W, Lmax], lengths [B, W], scores [B, W]) sorted
-    best-first; scores are total log P(prefix) = logaddexp(p_b, p_nb)."""
+    best-first; scores are total log P(prefix) = logaddexp(p_b, p_nb).
+
+    ``lm`` (decoding.lm.DenseLM over label ids, boundary last) enables
+    shallow fusion: each prefix EXTENSION adds ``lm_weight *
+    log p_lm(tok | prefix)``; stay/blank moves add nothing, so merged
+    equal prefixes carry identical LM terms and the merge stays exact."""
     B, T, V = logprobs.shape
     W = beam_width
     Lmax = max_label_len or T
+    fuse = lm is not None and lm_weight != 0.0
 
     init = {
         # beam 0 = empty prefix (p_b=0); others dead
@@ -83,6 +91,8 @@ def ctc_prefix_beam_search(
     # the empty prefix of beam 0 gets the canonical empty hash (0)
     init["hash"] = init["hash"].at[:, 0].set(0)
     init["hash2"] = init["hash2"].at[:, 0].set(0)
+    if fuse:
+        init["lm"] = lm.init_state((B, W))
 
     nonblank_ids = jnp.array(
         [v for v in range(V) if v != blank_id], jnp.int32
@@ -110,6 +120,9 @@ def ctc_prefix_beam_search(
         is_last = nonblank_ids[None, None, :] == last[..., None]
         base = jnp.where(is_last, pb[..., None], ptot[..., None])
         ext_pnb = base + lp_tok[:, None, :]
+        if fuse:
+            lm_lp = lm.logprobs(state["lm"])  # [B, W, Vlm]
+            ext_pnb = ext_pnb + lm_weight * lm_lp[:, :, nonblank_ids]
         ext_pb = jnp.full_like(ext_pnb, NEG_INF)
 
         # candidate tensors: C = W * V  (V-1 extensions + 1 stay per beam)
@@ -139,6 +152,18 @@ def ctc_prefix_beam_search(
             axis=-1,
         )
 
+        if fuse:
+            cand_lm = jnp.concatenate(
+                [
+                    lm.step(
+                        state["lm"][..., None],
+                        nonblank_ids[None, None, :],
+                    ),
+                    state["lm"][..., None],  # stay keeps its context
+                ],
+                axis=-1,
+            )  # [B, W, V]
+
         C = W * V
         flat = lambda x: x.reshape(B, C)
         cand_h, cand_h2 = flat(cand_h), flat(cand_h2)
@@ -151,6 +176,8 @@ def ctc_prefix_beam_search(
         cand_h, cand_h2 = take(cand_h), take(cand_h2)
         cand_pb, cand_pnb = take(cand_pb), take(cand_pnb)
         cand_parent, cand_tok = take(cand_parent), take(cand_tok)
+        if fuse:
+            cand_lm = take(flat(cand_lm))
 
         prev_h = jnp.pad(
             cand_h[..., :-1], ((0, 0), (1, 0)), constant_values=-(2**31) + 1
@@ -208,6 +235,10 @@ def ctc_prefix_beam_search(
             "hash2": new_h2,
             "last": new_last,
         }
+        if fuse:
+            # merged candidates share a prefix, hence an LM context, so
+            # the segment head's value is the merged value
+            new_state["lm"] = g(cand_lm)
         # frames past logit_length leave the state untouched
         keep = lambda new, old: jnp.where(
             valid.reshape((B,) + (1,) * (new.ndim - 1)), new, old

@@ -42,13 +42,24 @@ class Nbest:
 
 
 class Recognizer:
-    """Base recognizer built from a recognizer.cfg section."""
+    """Base recognizer built from a recognizer.cfg section.
+
+    Beam recognizers accept ``lm_path`` (an NgramLM .npz trained with
+    ``run lm``) + ``lm_weight`` for shallow fusion.
+    """
 
     def __init__(self, conf: Conf, model, head: Optional[str] = None):
         self.conf = conf
         self.model = model
         self.head = head or conf.get("head") or next(iter(model.decoders))
         self.decoder = model.decoders[self.head]
+        self.lm = None
+        self.lm_weight = conf.getfloat("lm_weight", 0.0)
+        lm_path = conf.get("lm_path")
+        if lm_path and self.lm_weight != 0.0:
+            from nabu_tpu.decoding.lm import load_dense_lm
+
+            self.lm = load_dense_lm(lm_path)
 
     def __call__(self, params, features, feature_lengths) -> Nbest:
         raise NotImplementedError
@@ -209,6 +220,8 @@ class AttentionBeamRecognizer(Recognizer):
             max_steps=max_steps,
             length_norm_power=self.length_norm_power,
             eos_bonus=self.eos_bonus,
+            lm=self.lm,
+            lm_weight=self.lm_weight,
         )
 
     def __call__(self, params, features, feature_lengths) -> Nbest:
@@ -252,6 +265,8 @@ class CTCBeamRecognizer(Recognizer):
             beam_width=self.beam_width,
             blank_id=self.blank_id,
             max_label_len=self.max_label_len or None,
+            lm=self.lm,
+            lm_weight=self.lm_weight,
         )
 
     def __call__(self, params, features, feature_lengths) -> Nbest:
@@ -367,6 +382,8 @@ class TransducerBeamRecognizer(Recognizer):
             beam_width=self.beam_width,
             max_symbols=self.max_symbols,
             length_norm_power=self.length_norm_power,
+            lm=self.lm,
+            lm_weight=self.lm_weight,
         )
 
     def __call__(self, params, features, feature_lengths) -> Nbest:

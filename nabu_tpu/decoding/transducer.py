@@ -105,8 +105,14 @@ def transducer_beam_search(
     beam_width: int = 4,
     max_symbols: int = 4,
     length_norm_power: float = 0.0,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched time-synchronous alignment-path beam search.
+
+    ``lm`` (decoding.lm.DenseLM) enables shallow fusion on EMISSIONS
+    only — blank moves carry no LM cost, so the LM shapes which labels
+    are hypothesized, not when the frames advance.
 
     Keeps the ``beam_width`` best ALIGNMENT PATHS (a hypothesis' score is
     the probability of its single best blank/emission path, not the sum
@@ -167,6 +173,9 @@ def transducer_beam_search(
         seqs=jnp.full((B, W, L), blank, jnp.int32),
         lens=jnp.zeros((B, W), jnp.int32),
     )
+    fuse = lm is not None and lm_weight != 0.0
+    if fuse:
+        carry0["lm_state"] = lm.init_state((B, W))
 
     def frame_step(carry, inp):
         enc_t, valid = inp  # [B, J], [B]
@@ -179,6 +188,12 @@ def transducer_beam_search(
             ).reshape(B, W, -1)
             nV = logits.shape[-1]
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            if fuse:
+                # fusion on emissions; the blank column stays AM-only
+                lm_lp = lm.logprobs(carry["lm_state"])  # [B, W, Vlm]
+                lp = lp.at[..., :blank].add(
+                    lm_weight * lm_lp[..., :blank]
+                )
             # candidates [B, W, 1 + nV]: col 0 = noop, col 1+v = action v
             # (at an invalid frame open_ is False everywhere, so every
             # hypothesis noops and the beam passes through unchanged)
@@ -217,10 +232,16 @@ def transducer_beam_search(
                 new_state,
                 state,
             )
-            carry = dict(
+            carry_new = dict(
                 pred=pred, state=state, score=top_score, seqs=seqs,
                 lens=lens,
             )
+            if fuse:
+                lm_state = _gather_beams(carry["lm_state"], parent)
+                carry_new["lm_state"] = jnp.where(
+                    is_emit, lm.step(lm_state, jnp.clip(tok, 0)), lm_state
+                )
+            carry = carry_new
         return carry, None
 
     enc_proj_t = jnp.swapaxes(enc_proj, 0, 1)  # [T, B, J]
