@@ -403,6 +403,52 @@ class TransducerBeamRecognizer(Recognizer):
         return Nbest(ids=seqs, lengths=lengths, scores=scores)
 
 
+@RECOGNIZERS.register("transducer_streaming")
+@RECOGNIZERS.register("rnnt_streaming")
+class TransducerStreamingRecognizer(Recognizer):
+    """Chunked streaming RNN-T greedy decode (decoding/streaming.py),
+    exposed as a batch recognizer so `run test`/`run decode` can drive
+    the streaming path; output equals transducer_greedy exactly (the
+    forward-only encoder has no lookahead). conf: chunk_frames,
+    max_symbols."""
+
+    def __init__(self, conf, model, head=None):
+        super().__init__(conf, model, head)
+        from nabu_tpu.decoding.streaming import StreamingTransducer
+
+        self.streamer = StreamingTransducer(
+            model,
+            head=self.head,
+            chunk_frames=conf.getint("chunk_frames", 32),
+            max_symbols=conf.getint("max_symbols", 4),
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        feats = jnp.asarray(features)
+        lengths = jnp.asarray(feature_lengths, jnp.int32)
+        B, T, _ = feats.shape
+        C = self.streamer.chunk_frames
+        Tpad = max(((T + C - 1) // C) * C, C)
+        feats = jnp.pad(feats, ((0, 0), (0, Tpad - T), (0, 0)))
+        state = self.streamer.start(params, batch=B)
+        toks = [[] for _ in range(B)]
+        for c0 in range(0, Tpad, C):
+            valid = jnp.clip(lengths - c0, 0, C)
+            new, state = self.streamer.feed(
+                params, state, feats[:, c0:c0 + C], valid
+            )
+            for b in range(B):
+                toks[b].extend(new[b])
+        scores = np.asarray(state["dec"][2])
+        L = max(max((len(t) for t in toks), default=1), 1)
+        ids = np.zeros((B, 1, L), np.int64)
+        lens = np.zeros((B, 1), np.int64)
+        for b, t in enumerate(toks):
+            ids[b, 0, : len(t)] = t
+            lens[b, 0] = len(t)
+        return Nbest(ids=ids, lengths=lens, scores=scores[:, None])
+
+
 def build_recognizer(conf: Conf, model) -> Recognizer:
     """Factory by conf['recognizer'] (reference: decoder_factory.py)."""
     return RECOGNIZERS.build(conf.get("recognizer", "ctc_greedy"), conf, model)

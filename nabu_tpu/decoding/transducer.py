@@ -31,21 +31,30 @@ def transducer_greedy_search(
     encoded: jnp.ndarray,  # [B, T, D]
     enc_lengths: jnp.ndarray,  # [B]
     max_symbols: int = 4,
+    init_carry=None,
+    return_carry: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (ids [B, T*max_symbols], lengths [B], scores [B]).
 
     ``scores`` is the log-probability of the greedy alignment (every
     emitted symbol plus every consumed blank, at valid frames).
+
+    ``init_carry``/``return_carry`` expose the running decode state
+    (pred vector, prediction-net state, score) so a STREAMING caller can
+    greedy-decode chunk by chunk with byte-identical results to one
+    offline pass (decoding/streaming.py).
     """
     B, T, _ = encoded.shape
     enc_proj = decoder.precompute(params, encoded)  # [B, T, J]
     enc_mask = sequence_mask(enc_lengths, T)  # [B, T]
     blank = decoder.blank_id
 
-    state0 = decoder.pred_init_state(B, encoded.dtype)
-    pred0, state0 = decoder.pred_step(
-        params, jnp.full((B,), decoder.sos_id, jnp.int32), state0
-    )
+    if init_carry is None:
+        state0 = decoder.pred_init_state(B, encoded.dtype)
+        pred0, state0 = decoder.pred_step(
+            params, jnp.full((B,), decoder.sos_id, jnp.int32), state0
+        )
+        init_carry = (pred0, state0, jnp.zeros((B,), jnp.float32))
 
     def frame_step(carry, inp):
         pred_vec, state, score = carry
@@ -82,11 +91,10 @@ def transducer_greedy_search(
 
     enc_proj_t = jnp.swapaxes(enc_proj, 0, 1)  # [T, B, J]
     mask_t = jnp.swapaxes(enc_mask, 0, 1)  # [T, B]
-    (_, _, scores), (toks, valid) = jax.lax.scan(
-        frame_step,
-        (pred0, state0, jnp.zeros((B,), jnp.float32)),
-        (enc_proj_t, mask_t),
+    carry, (toks, valid) = jax.lax.scan(
+        frame_step, init_carry, (enc_proj_t, mask_t)
     )
+    scores = carry[2]
     # [T, B, K] -> [B, T*K], frame-major order
     toks = jnp.swapaxes(toks, 0, 1).reshape(B, T * max_symbols)
     valid = jnp.swapaxes(valid, 0, 1).reshape(B, T * max_symbols)
@@ -94,6 +102,8 @@ def transducer_greedy_search(
     order = jnp.argsort(~valid, axis=1, stable=True)
     ids = jnp.take_along_axis(toks, order, axis=1)
     lengths = valid.sum(axis=1).astype(jnp.int32)
+    if return_carry:
+        return ids, lengths, scores, carry
     return ids, lengths, scores
 
 

@@ -143,13 +143,21 @@ def lstm_scan(
     reverse: bool = False,
     forget_bias: float = 1.0,
     unroll: int = 8,
-) -> jnp.ndarray:
+    init_carry: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    return_carry: bool = False,
+):
     """Unidirectional masked LSTM over a padded batch -> [B, T, H].
 
     For ``reverse=True`` the padded array is flipped wholesale; the mask
     gate keeps the carried state at its initial zeros through the leading
     padding, which is exactly the state the backward pass of a
     per-sequence reversal would have.
+
+    ``init_carry``/``return_carry`` (forward direction only) expose the
+    (h, c) state so chunked STREAMING runs are exact: feeding a sequence
+    in chunks with the carry threaded through equals one full scan —
+    the mask gate freezes the carry at each lane's last valid frame, so
+    a partially-filled chunk hands the right state to the next one.
     """
     B, T, _ = x.shape
     H = p["wh"].shape[0]
@@ -181,15 +189,18 @@ def lstm_scan(
         c = jnp.where(m, c_new, c)
         return (h, c), h * m
 
-    init = (
-        jnp.zeros((B, H), x.dtype),
-        jnp.zeros((B, H), x.dtype),
-    )
-    _, ys = jax.lax.scan(step, init, (xw, mask_t), unroll=unroll)
+    if init_carry is None:
+        init_carry = (
+            jnp.zeros((B, H), x.dtype),
+            jnp.zeros((B, H), x.dtype),
+        )
+    elif reverse:
+        raise ValueError("init_carry only supports the forward direction")
+    carry, ys = jax.lax.scan(step, init_carry, (xw, mask_t), unroll=unroll)
     ys = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
     if reverse:
         ys = jnp.flip(ys, axis=1)
-    return ys
+    return (ys, carry) if return_carry else ys
 
 
 def blstm_init(

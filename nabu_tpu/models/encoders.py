@@ -56,30 +56,54 @@ class Encoder:
 @ENCODERS.register("dblstm")
 class DBLSTM(Encoder):
     """Deep bidirectional LSTM, no subsampling (the CTC workhorse;
-    reference: ed_encoders/dblstm.py)."""
+    reference: ed_encoders/dblstm.py).
+
+    ``bidirectional = false`` builds a forward-only stack — the
+    streaming-capable variant (no lookahead): it additionally exposes
+    ``stream_init``/``stream_step`` so audio can be encoded chunk by
+    chunk with the LSTM carries threaded through, numerically equal to
+    one offline pass (decoding/streaming.py drives this, paired with
+    the RNN-T head)."""
 
     def __init__(self, conf: Conf, input_dim: int):
         super().__init__(conf, input_dim)
         self.num_layers = conf.getint("num_layers", 2)
         self.num_units = conf.getint("num_units", 128)
         self.dropout = conf.getfloat("dropout", 0.0)
-        self.impl = "pallas" if conf.getbool("use_pallas", False) else "scan"
+        self.bidirectional = conf.getbool("bidirectional", True)
+        # the fused Pallas kernel is dual-direction; the forward-only
+        # stack always uses the scan cell
+        self.impl = (
+            "pallas"
+            if conf.getbool("use_pallas", False) and self.bidirectional
+            else "scan"
+        )
         self.remat = conf.getbool("remat", False)
         self.layer_norm = conf.getbool("layer_norm", False)
-        self.output_dim = 2 * self.num_units
+        self.output_dim = (2 if self.bidirectional else 1) * self.num_units
 
     def init(self, key) -> dict:
         params = {}
         in_dim = self.input_dim
         for i, k in enumerate(jax.random.split(key, self.num_layers)):
-            params[f"layer_{i}"] = core.blstm_init(
-                k, in_dim, self.num_units, self.layer_norm
-            )
-            in_dim = 2 * self.num_units
+            if self.bidirectional:
+                params[f"layer_{i}"] = core.blstm_init(
+                    k, in_dim, self.num_units, self.layer_norm
+                )
+            else:
+                params[f"layer_{i}"] = core.lstm_init(
+                    k, in_dim, self.num_units, self.layer_norm
+                )
+            in_dim = self.output_dim
         return params
 
     def apply(self, params, features, lengths, train=False, rng=None):
-        layer_fn = _maybe_remat(self.remat, self.impl)
+        if self.bidirectional:
+            layer_fn = _maybe_remat(self.remat, self.impl)
+        else:
+            layer_fn = core.lstm_scan
+            if self.remat:
+                layer_fn = jax.checkpoint(layer_fn)
         x = features
         for i in range(self.num_layers):
             x = layer_fn(params[f"layer_{i}"], x, lengths)
@@ -87,6 +111,35 @@ class DBLSTM(Encoder):
                 rng, sub = jax.random.split(rng)
                 x = core.dropout(sub, x, self.dropout, train)
         return x, lengths
+
+    # -- streaming (forward-only stacks) ----------------------------------
+    def stream_init(self, batch: int, dtype=jnp.float32):
+        """Per-layer (h, c) carries for a chunked encode."""
+        if self.bidirectional:
+            raise ValueError("streaming needs bidirectional = false")
+        return [
+            (
+                jnp.zeros((batch, self.num_units), dtype),
+                jnp.zeros((batch, self.num_units), dtype),
+            )
+            for _ in range(self.num_layers)
+        ]
+
+    def stream_step(self, params, chunk, lengths, state):
+        """Encode one chunk: ([B, C, F], valid lengths, carries) ->
+        ([B, C, D], carries). Frames past ``lengths`` output zeros and
+        leave the carries untouched."""
+        if self.bidirectional:
+            raise ValueError("streaming needs bidirectional = false")
+        x = chunk
+        new_state = []
+        for i in range(self.num_layers):
+            x, carry = core.lstm_scan(
+                params[f"layer_{i}"], x, lengths,
+                init_carry=state[i], return_carry=True,
+            )
+            new_state.append(carry)
+        return x, new_state
 
 
 @ENCODERS.register("listener")
