@@ -131,10 +131,14 @@ class Model:
                     train=train,
                     rng=sub,
                 )
-                # losses and decoding run in float32
-                outputs[name] = (
-                    logits.astype(jnp.float32), logit_lengths
-                )
+                # losses and decoding run in float32. Exception: the
+                # 4-D transducer lattice stays in compute dtype — its
+                # loss upcasts inside fused reads (ops/transducer.py),
+                # and a container-level cast would materialize an f32
+                # copy of the largest tensor in the whole step
+                if logits.ndim < 4:
+                    logits = logits.astype(jnp.float32)
+                outputs[name] = (logits, logit_lengths)
         return outputs
 
 

@@ -54,9 +54,19 @@ def _lattice_logprobs(
 
     Returns (lp_blank [B, T, U+1], lp_emit [B, T, U]); emit positions at
     u >= target_length are masked to NEG.
+
+    HBM discipline: the (possibly bf16) lattice is upcast inside this
+    one log_softmax — the Model container deliberately skips its usual
+    f32 output cast for 4-D lattices, which measured ~2% faster
+    end-to-end than cast-then-log_softmax. (A logsumexp+gather variant
+    that avoids materializing the log-probs array entirely was measured
+    ~3% SLOWER on TPU — the split reduce+gather consumers fuse worse
+    than one log_softmax pass — so this keeps the single
+    materialization.)
     """
-    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lp_blank = logprobs[..., blank_id]  # [B, T, U+1]
+    logits32 = logits.astype(jnp.float32)  # fused into each consumer
+    logprobs = jax.nn.log_softmax(logits32, axis=-1)
+    lp_blank = logprobs[..., blank_id]
     U = targets.shape[1]
     tgt = targets[:, None, :, None].astype(jnp.int32)  # [B, 1, U, 1]
     tgt = jnp.broadcast_to(tgt, (targets.shape[0], logits.shape[1], U, 1))
