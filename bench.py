@@ -84,6 +84,9 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
                 "decoder": "rnnt", "num_layers": "1",
                 "num_units": "320", "embed_dim": "128",
                 "joint_units": "320", "loss": "transducer",
+                # the fused Pallas joint+loss kernel rides the loss-
+                # kernel toggle
+                "use_pallas": str(use_pallas_ctc).lower(),
             }, "decoder"),
         })
     else:

@@ -131,12 +131,14 @@ class Model:
                     train=train,
                     rng=sub,
                 )
-                # losses and decoding run in float32. Exception: the
+                # losses and decoding run in float32. Exceptions: the
                 # 4-D transducer lattice stays in compute dtype — its
                 # loss upcasts inside fused reads (ops/transducer.py),
                 # and a container-level cast would materialize an f32
-                # copy of the largest tensor in the whole step
-                if logits.ndim < 4:
+                # copy of the largest tensor in the whole step; a dict
+                # is the fused-kernel projection handle (use_pallas
+                # transducer head) and passes through untouched
+                if not isinstance(logits, dict) and logits.ndim < 4:
                     logits = logits.astype(jnp.float32)
                 outputs[name] = (logits, logit_lengths)
         return outputs

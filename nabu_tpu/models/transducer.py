@@ -56,6 +56,10 @@ class TransducerDecoder(Decoder):
         self.embed_dim = conf.getint("embed_dim", self.num_units)
         self.joint_dim = conf.getint("joint_units", self.num_units)
         self.remat = conf.getbool("remat", True)
+        # use_pallas: train-time apply() emits the projection pytree the
+        # fused joint+loss kernel (ops/pallas/transducer.py) consumes
+        # instead of the materialized lattice
+        self.use_pallas = conf.getbool("use_pallas", False)
         self.blank_id = self.num_labels
         self.sos_id = self.num_labels  # embedding row, never emitted
 
@@ -160,7 +164,14 @@ class TransducerDecoder(Decoder):
         train: bool = False,
         rng=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (lattice logits [B, T, U+1, V+1], enc_lengths)."""
+        """Returns (lattice logits [B, T, U+1, V+1], enc_lengths).
+
+        With ``use_pallas = true`` the lattice is never materialized:
+        the return value is instead a dict of the two joint projections
+        + output weights, which ``loss = transducer`` hands to the fused
+        Pallas joint+loss kernel (the loss registry's ``use_pallas``
+        flag comes from this same config section, so the pair always
+        agrees)."""
         del train, rng
         pred = self._pred_sequence(params, targets, target_lengths)
         # zero padded frames so masked-lane garbage can't reach the loss
@@ -168,6 +179,14 @@ class TransducerDecoder(Decoder):
         encoded = encoded * enc_mask[..., None].astype(encoded.dtype)
         enc_proj = core.linear_apply(params["joint_enc"], encoded)
         pred_proj = core.linear_apply(params["joint_pred"], pred)
+
+        if self.use_pallas:
+            return {
+                "enc_proj": enc_proj,
+                "pred_proj": pred_proj,
+                "w_out": params["out"]["w"],
+                "b_out": params["out"]["b"],
+            }, enc_lengths
 
         def lattice(out_p, e, p):
             hidden = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])

@@ -114,15 +114,31 @@ def transducer_loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Mean per-example RNN-T negative log likelihood (ops/transducer.py).
 
-    Beyond-parity loss for the transducer head (models/transducer.py);
-    ``use_pallas`` is accepted for signature parity (no kernel variant
-    yet — the lattice forward is a single vectorised lax.scan)."""
+    Beyond-parity loss for the transducer head (models/transducer.py).
+    With ``use_pallas`` the head emits a projection dict instead of the
+    lattice and the fused Pallas joint+loss kernel
+    (ops/pallas/transducer.py) computes the NLL without the
+    [B, T, U+1, V+1] tensor ever reaching HBM."""
     del label_smoothing, use_pallas
-    from nabu_tpu.ops.transducer import transducer_loss
+    if isinstance(logits, dict):  # fused-kernel projection handle
+        from nabu_tpu.ops.pallas.transducer import transducer_loss_fused
 
-    nll = transducer_loss(
-        logits, logit_lengths, targets, target_lengths, blank_id
-    )  # [B]
+        nll = transducer_loss_fused(
+            logits["enc_proj"],
+            logits["pred_proj"],
+            logits["w_out"],
+            logits["b_out"],
+            logit_lengths,
+            targets,
+            target_lengths,
+            blank_id,
+        )
+    else:
+        from nabu_tpu.ops.transducer import transducer_loss
+
+        nll = transducer_loss(
+            logits, logit_lengths, targets, target_lengths, blank_id
+        )  # [B]
     denom = jnp.maximum(example_mask.sum(), 1.0)
     loss = jnp.sum(nll * example_mask) / denom
     frames = jnp.maximum(jnp.sum(logit_lengths * example_mask), 1.0)

@@ -1,0 +1,512 @@
+"""Fused Pallas RNN-T joint+loss kernel.
+
+The unfused path (models/transducer.py + ops/transducer.py) materializes
+the joint lattice twice per step in HBM: tanh activations [B, T, U+1, J]
+(the largest tensor in the whole training step) and logits
+[B, T, U+1, V], then streams both again in the backward pass. Here the
+joint network and the lattice DP fuse into two kernels that walk time
+frame by frame with everything per-frame resident in VMEM:
+
+- forward: per frame t, compute hidden = tanh(enc_proj[t] + pred_proj)
+  [B, U+1, J] and logits = hidden @ W_o + b_o [B, U+1, V] on the MXU,
+  reduce to blank/emit log-probs, and advance the alpha row [B, U+1]
+  with the same cumsum + prefix-logsumexp closed form as the oracle
+  (ops/transducer.py) — lane-axis prefixes run as log2(U) masked-roll
+  steps on the VPU. Only alpha and lp_blank rows ([T, B, U+1] f32, tiny)
+  go to HBM.
+- backward: walk t in reverse carrying the beta row, recompute the joint
+  (no residuals beyond alpha), and emit the analytic gradient
+  d(-ll)/dlogits = gb*(softmax - 1_blank) + ge*(softmax - 1_emit) with
+  gb/ge the blank/emit transition occupancies; backprop through the
+  tanh and the two projections on the fly, accumulating dpred_proj /
+  dW_o / db_o in VMEM scratch across the whole scan and streaming
+  denc_proj per frame.
+
+HBM traffic drops from O(B*T*U*(J+V)) to O(B*T*(J+U)) — the lattice
+never exists off-chip. Oracle: ops/transducer.transducer_loss applied
+to the jnp joint (tested value- and gradient-exact in
+tests/test_pallas_kernels.py::TestTransducerFused).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nabu_tpu.ops.pallas import on_tpu
+from nabu_tpu.ops.transducer import NEG
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift_right(x, k, fill):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lanes >= k, pltpu.roll(x, k, axis=x.ndim - 1), fill)
+
+
+def _shift_left(x, k, fill):
+    L = x.shape[-1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(
+        lanes < L - k, pltpu.roll(x, L - k, axis=x.ndim - 1), fill
+    )
+
+
+def _prefix_sum(x):
+    """Inclusive prefix sum along lanes (log-step rolls)."""
+    k = 1
+    while k < x.shape[-1]:
+        x = x + _shift_right(x, k, 0.0)
+        k *= 2
+    return x
+
+
+def _prefix_lse(x):
+    """Inclusive prefix logsumexp along lanes."""
+    k = 1
+    while k < x.shape[-1]:
+        x = jnp.logaddexp(x, _shift_right(x, k, NEG * 4))
+        k *= 2
+    return x
+
+
+def _suffix_lse(x):
+    """Inclusive suffix (reverse prefix) logsumexp along lanes."""
+    k = 1
+    while k < x.shape[-1]:
+        x = jnp.logaddexp(x, _shift_left(x, k, NEG * 4))
+        k *= 2
+    return x
+
+
+def _joint_row(encp_t, predp, w, b, onehot, umask, blank_id):
+    """One frame of the joint: returns (h [B,U1p,Jp] bf16,
+    sm f32, lp_blank [B,U1p], lp_emit [B,U1p])."""
+    B, U1p, Jp = predp.shape
+    x = encp_t[:, None, :] + predp  # [B, U1p, Jp]
+    h = jnp.tanh(x)
+    logits = jax.lax.dot_general(
+        h.reshape(B * U1p, Jp), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b  # [B*U1p, Vp]; padded V lanes carry NEG bias
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    lp = (logits - lse).reshape(B, U1p, -1)
+    lp_blank = lp[:, :, blank_id]
+    lp_emit = jnp.where(
+        umask > 0.5, jnp.sum(lp * onehot, axis=-1), NEG
+    )
+    return h, lp, lp_blank, lp_emit
+
+
+def _fwd_kernel(
+    encp_ref,  # [bt, B, Jp] bf16 (time block)
+    predp_ref,  # [B, U1p, Jp] bf16
+    w_ref,  # [Jp, Vp] bf16
+    b_ref,  # [1, Vp] f32 (NEG at padded V lanes)
+    onehot_ref,  # [B, U1p, Vp] f32 target one-hots
+    umask_ref,  # [B, U1p] f32 (1 while u < target_len)
+    tlen_ref,  # [B, 1] f32
+    alpha_out_ref,  # [bt, B, U1p] f32
+    lpb_out_ref,  # [bt, B, U1p] f32
+    alpha_s,  # VMEM [B, U1p] f32
+    lpb_s,  # VMEM [B, U1p] f32
+    *,
+    block_t: int,
+    blank_id: int,
+):
+    j = pl.program_id(0)
+    tlen = tlen_ref[:]  # [B, 1]
+
+    def body(i, _):
+        t = j * block_t + i
+        _, _, lp_blank, lp_emit = _joint_row(
+            encp_ref[i], predp_ref[:], w_ref[:], b_ref[:],
+            onehot_ref[:], umask_ref[:], blank_id,
+        )
+        # e[u] = lp_emit[u-1], e[0] = 0 (cumsum offset only)
+        e = _shift_right(lp_emit, 1, 0.0)
+        E = _prefix_sum(e)
+        first = jnp.maximum(E, NEG)  # alpha at t = 0
+        base = alpha_s[:] + lpb_s[:]
+        trans = jnp.maximum(E + _prefix_lse(base - E), NEG)
+        is_first = jnp.full(first.shape, t == 0, dtype=bool)
+        new = jnp.where(is_first, first, trans)
+        valid = tlen > t  # [B, 1] row mask; freeze finished lanes
+        new = jnp.where(valid, new, alpha_s[:])
+        new_lpb = jnp.where(valid, lp_blank, lpb_s[:])
+        alpha_s[:] = new
+        lpb_s[:] = new_lpb
+        alpha_out_ref[i] = new
+        lpb_out_ref[i] = new_lpb
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def _bwd_kernel(
+    encp_ref,  # [bt, B, Jp] bf16 (reverse-ordered blocks)
+    predp_ref,  # [B, U1p, Jp] bf16
+    w_ref,  # [Jp, Vp] bf16
+    b_ref,  # [1, Vp] f32
+    onehot_ref,  # [B, U1p, Vp] f32
+    umask_ref,  # [B, U1p] f32
+    tlen_ref,  # [B, 1] f32
+    beta_init_ref,  # [B, U1p] f32 (0 at u == target_len, NEG else)
+    alpha_ref,  # [bt, B, U1p] f32
+    gll_ref,  # [B, 1] f32: upstream grad / ll combo: g_b, and ll
+    ll_ref,  # [B, 1] f32
+    denc_out_ref,  # [bt, B, Jp] f32
+    dpred_out_ref,  # [B, U1p, Jp] f32 (written every block, final wins)
+    dw_out_ref,  # [Jp, Vp] f32
+    db_out_ref,  # [B, Vp] f32 (per-sublane partial sums)
+    beta_s,  # VMEM [B, U1p] f32
+    dpred_s,  # VMEM [B, U1p, Jp] f32
+    dw_s,  # VMEM [Jp, Vp] f32
+    db_s,  # VMEM [B, Vp] f32
+    *,
+    block_t: int,
+    blank_id: int,
+):
+    j = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    tlen = tlen_ref[:]  # [B, 1]
+    ll = ll_ref[:]  # [B, 1]
+    g = gll_ref[:]  # [B, 1] upstream gradient of the per-example nll
+
+    @pl.when(j == 0)
+    def _():
+        beta_s[:] = jnp.full_like(beta_s, NEG)
+        dpred_s[:] = jnp.zeros_like(dpred_s)
+        dw_s[:] = jnp.zeros_like(dw_s)
+        db_s[:] = jnp.zeros_like(db_s)
+
+    B, U1p, Jp = predp_ref.shape
+
+    def body(k, _):
+        i = block_t - 1 - k
+        t = (nprog - 1 - j) * block_t + i
+        h, lp, lp_blank, lp_emit = _joint_row(
+            encp_ref[i], predp_ref[:], w_ref[:], b_ref[:],
+            onehot_ref[:], umask_ref[:], blank_id,
+        )
+        # beta[t+1] row: the carry, except the termination row at the
+        # lane's final frame
+        at_final = tlen - 1 <= t  # [B, 1] (== for valid t, < for past)
+        beta_next = jnp.where(at_final, beta_init_ref[:], beta_s[:])
+        # closed-form reverse u-recurrence:
+        # beta[u] = lse_{k>=u}( v[k] + sum_{j=u..k-1} e2[j] );
+        # e2 is zeroed (not NEG) at invalid u — any path crossing an
+        # invalid emission already dies through v[k>U_b] = NEG
+        v = lp_blank + beta_next
+        e2 = jnp.where(umask_ref[:] > 0.5, lp_emit, 0.0)
+        S = _prefix_sum(_shift_right(e2, 1, 0.0))  # exclusive prefix
+        new_beta = jnp.maximum(-S + _suffix_lse(v + S), NEG)
+        beta_shift = _shift_left(new_beta, 1, NEG)  # beta[t, u+1]
+
+        alpha = alpha_ref[i]
+        # transition occupancies (clamped exponents, masked past length)
+        t_ok = tlen > t  # [B, 1]
+        gb = jnp.exp(jnp.minimum(alpha + lp_blank + beta_next - ll, 0.0))
+        ge = jnp.exp(jnp.minimum(alpha + lp_emit + beta_shift - ll, 0.0))
+        gb = jnp.where(t_ok, gb, 0.0) * g
+        ge = jnp.where(t_ok, ge, 0.0) * g
+
+        # dlogits = gb*(sm - 1_blank) + ge*(sm - 1_emit)   [for loss=-ll]
+        sm = jnp.exp(lp)  # [B, U1p, Vp]
+        gsum = gb + ge  # [B, U1p]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 2)
+        blank_onehot = (lanes == blank_id).astype(jnp.float32)
+        dlogits = (
+            gsum[..., None] * sm
+            - gb[..., None] * blank_onehot
+            - ge[..., None] * onehot_ref[:]
+        )  # [B, U1p, Vp] f32
+
+        # backprop through the joint
+        d2 = dlogits.reshape(B * U1p, -1).astype(jnp.bfloat16)
+        dh = jax.lax.dot_general(
+            d2, w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, U1p, Jp)
+        hf = h.astype(jnp.float32)
+        dx = (1.0 - hf * hf) * dh  # [B, U1p, Jp] f32
+        denc_out_ref[i] = jnp.sum(dx, axis=1)  # [B, Jp]
+        dpred_s[:] = dpred_s[:] + dx
+        dw_s[:] = dw_s[:] + jax.lax.dot_general(
+            h.reshape(B * U1p, Jp), d2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_s[:] = db_s[:] + jnp.sum(dlogits, axis=1)
+        beta_s[:] = jnp.where(t_ok, new_beta, beta_s[:])
+        return 0
+
+    jax.lax.fori_loop(0, block_t, body, 0)
+    dpred_out_ref[:] = dpred_s[:]
+    dw_out_ref[:] = dw_s[:]
+    db_out_ref[:] = db_s[:]
+
+
+def _prepare(enc_proj, pred_proj, w_out, b_out, targets, target_lengths):
+    """Pad every axis to TPU tiles; build one-hots and masks."""
+    B, T, J = enc_proj.shape
+    U1 = pred_proj.shape[1]
+    V = w_out.shape[1]
+    Jp, Vp, U1p = _round_up(J, 128), _round_up(V, 128), _round_up(U1, 128)
+    Bp = _round_up(B, 8)
+
+    cdt = jnp.bfloat16
+    encp = jnp.zeros((T, Bp, Jp), cdt)
+    encp = encp.at[:, :B, :J].set(enc_proj.swapaxes(0, 1).astype(cdt))
+    predp = jnp.zeros((Bp, U1p, Jp), cdt)
+    predp = predp.at[:B, :U1, :J].set(pred_proj.astype(cdt))
+    w = jnp.zeros((Jp, Vp), cdt).at[:J, :V].set(w_out.astype(cdt))
+    b = jnp.full((1, Vp), NEG, jnp.float32).at[0, :V].set(
+        b_out.astype(jnp.float32)
+    )
+
+    U = U1 - 1
+    tgt = jnp.zeros((Bp, U1p), jnp.int32)
+    if U > 0:
+        tgt = tgt.at[:B, :U].set(targets.astype(jnp.int32))
+    onehot = jax.nn.one_hot(tgt, Vp, dtype=jnp.float32)
+    umask = jnp.zeros((Bp, U1p), jnp.float32)
+    umask = umask.at[:B].set(
+        (
+            jnp.arange(U1p)[None, :] < target_lengths[:, None]
+        ).astype(jnp.float32)
+    )
+    return encp, predp, w, b, onehot, umask, Bp, U1p, Jp, Vp
+
+
+def _run_forward(encp, predp, w, b, onehot, umask, tlen, interpret,
+                 block_t, blank_id):
+    T, Bp, Jp = encp.shape
+    U1p = predp.shape[1]
+    bt = min(block_t, T)
+    pad = (-T) % bt
+    encp_p = jnp.pad(encp, ((0, pad), (0, 0), (0, 0))) if pad else encp
+    Tp = encp_p.shape[0]
+    nb = Tp // bt
+
+    alphas, lpbs = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_t=bt, blank_id=blank_id),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, Bp, Jp), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p, Jp), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Jp, w.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p, onehot.shape[2]), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, Bp, U1p), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Bp, U1p), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, Bp, U1p), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, U1p), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bp, U1p), jnp.float32),
+            pltpu.VMEM((Bp, U1p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(encp_p, predp, w, b, onehot, umask, tlen)
+    return alphas, lpbs, encp_p, nb, bt
+
+
+def _fused_fwd(enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
+               target_lengths, blank_id, interpret, block_t):
+    if interpret is None:
+        interpret = not on_tpu()
+    B, T, J = enc_proj.shape
+    (encp, predp, w, b, onehot, umask,
+     Bp, U1p, Jp, Vp) = _prepare(
+        enc_proj, pred_proj, w_out, b_out, targets, target_lengths
+    )
+    tlen = jnp.zeros((Bp, 1), jnp.float32).at[:B, 0].set(
+        logit_lengths.astype(jnp.float32)
+    )
+    alphas, lpbs, encp_p, nb, bt = _run_forward(
+        encp, predp, w, b, onehot, umask, tlen, interpret, block_t,
+        blank_id,
+    )
+    # ll = alpha[t_last, U_b] + lp_blank[t_last, U_b]
+    t_last = jnp.maximum(logit_lengths.astype(jnp.int32) - 1, 0)
+    rows_a = alphas[t_last, jnp.arange(B)]  # [B, U1p]
+    rows_b = lpbs[t_last, jnp.arange(B)]
+    u_fin = target_lengths.astype(jnp.int32)[:, None]
+    ll = (
+        jnp.take_along_axis(rows_a, u_fin, axis=1)
+        + jnp.take_along_axis(rows_b, u_fin, axis=1)
+    )[:, 0]
+    nll = -ll
+    # residuals hold the ORIGINAL (unpadded) inputs — padding is cheap
+    # to redo in the backward and static dims stay Python ints
+    res = (
+        enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
+        target_lengths, alphas, ll,
+    )
+    return nll, res
+
+
+def _fused_bwd(blank_id, interpret, block_t, res, g):
+    if interpret is None:
+        interpret = not on_tpu()
+    (enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
+     target_lengths, alphas, ll) = res
+    B, T, J = enc_proj.shape
+    U1 = pred_proj.shape[1]
+    V = w_out.shape[1]
+    (encp, predp, w, b, onehot, umask,
+     Bp, U1p, Jp, Vp) = _prepare(
+        enc_proj, pred_proj, w_out, b_out, targets, target_lengths
+    )
+    tlen = jnp.zeros((Bp, 1), jnp.float32).at[:B, 0].set(
+        logit_lengths.astype(jnp.float32)
+    )
+    bt = min(block_t, T)
+    pad = (-T) % bt
+    encp_p = jnp.pad(encp, ((0, pad), (0, 0), (0, 0))) if pad else encp
+    nb = encp_p.shape[0] // bt
+
+    beta_init = jnp.where(
+        jnp.arange(U1p)[None, :]
+        == jnp.pad(target_lengths.astype(jnp.int32), (0, Bp - B))[:, None],
+        0.0,
+        NEG,
+    ).astype(jnp.float32)
+    ll_pad = jnp.zeros((Bp, 1), jnp.float32).at[:B, 0].set(ll)
+    g_pad = jnp.zeros((Bp, 1), jnp.float32).at[:B, 0].set(
+        g.astype(jnp.float32)
+    )
+    # infeasible lattices (ll ~ NEG) get zero gradients
+    g_pad = jnp.where(ll_pad > NEG / 2, g_pad, 0.0)
+
+    denc, dpred, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, block_t=bt, blank_id=blank_id),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, Bp, Jp), lambda j, nb=nb: (nb - 1 - j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p, Jp), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Jp, Vp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p, Vp), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Bp, U1p), lambda j, nb=nb: (nb - 1 - j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, Bp, Jp), lambda j, nb=nb: (nb - 1 - j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, U1p, Jp), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Jp, Vp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, Vp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * bt, Bp, Jp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, U1p, Jp), jnp.float32),
+            jax.ShapeDtypeStruct((Jp, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Vp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bp, U1p), jnp.float32),
+            pltpu.VMEM((Bp, U1p, Jp), jnp.float32),
+            pltpu.VMEM((Jp, Vp), jnp.float32),
+            pltpu.VMEM((Bp, Vp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(encp_p, predp, w, b, onehot, umask, tlen, beta_init, alphas,
+      g_pad, ll_pad)
+
+    return (
+        denc[:T, :B, :J].swapaxes(0, 1).astype(enc_proj.dtype),
+        dpred[:B, :U1, :J].astype(pred_proj.dtype),
+        dw[:J, :V].astype(w_out.dtype),
+        jnp.sum(db, axis=0)[:V].astype(b_out.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _transducer_fused(enc_proj, pred_proj, w_out, b_out, logit_lengths,
+                      targets, target_lengths, blank_id, interpret,
+                      block_t):
+    nll, _ = _fused_fwd(
+        enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
+        target_lengths, blank_id, interpret, block_t,
+    )
+    return nll
+
+
+_transducer_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def transducer_loss_fused(
+    enc_proj: jnp.ndarray,  # [B, T, J] (joint_enc @ encoded + bias)
+    pred_proj: jnp.ndarray,  # [B, U+1, J] (joint_pred @ pred + bias)
+    w_out: jnp.ndarray,  # [J, V] output projection
+    b_out: jnp.ndarray,  # [V]
+    logit_lengths: jnp.ndarray,  # [B]
+    targets: jnp.ndarray,  # [B, U]
+    target_lengths: jnp.ndarray,  # [B]
+    blank_id: int | None = None,
+    interpret: bool | None = None,
+    block_t: int = 32,
+) -> jnp.ndarray:
+    """Per-example RNN-T NLL with the joint network fused into the
+    lattice DP (no [B,T,U,V] or [B,T,U,J] tensors ever reach HBM).
+    blank defaults to the last output index."""
+    V = w_out.shape[1]
+    if blank_id is None:
+        blank_id = V - 1
+    blank_id = blank_id % V
+    nll = _transducer_fused(
+        enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
+        target_lengths, blank_id, interpret, block_t,
+    )
+    return nll

@@ -356,3 +356,129 @@ def test_lstm_scan_pallas_bf16_inputs():
     for leaf in jax.tree.leaves(gp):
         assert leaf.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+class TestTransducerFused:
+    """Fused joint+loss kernel vs the oracle joint (bf16 operands, the
+    kernel's compute dtype) + ops/transducer.transducer_loss."""
+
+    def _case(self, seed=0, B=3, T=7, U=4, J=16, V=5):
+        rng = np.random.RandomState(seed)
+        enc_proj = (rng.randn(B, T, J) * 0.5).astype(np.float32)
+        pred_proj = (rng.randn(B, U + 1, J) * 0.5).astype(np.float32)
+        w = (rng.randn(J, V) * 0.3).astype(np.float32)
+        b = (rng.randn(V) * 0.1).astype(np.float32)
+        targets = rng.randint(0, V - 1, (B, U)).astype(np.int32)
+        tlen = rng.randint(0, U + 1, (B,)).astype(np.int32)
+        llen = rng.randint(1, T + 1, (B,)).astype(np.int32)
+        return enc_proj, pred_proj, w, b, targets, tlen, llen
+
+    @staticmethod
+    def _oracle(enc_proj, pred_proj, w, b, targets, tlen, llen):
+        from nabu_tpu.ops.transducer import transducer_loss
+
+        bf = jnp.bfloat16
+        hidden = jnp.tanh(
+            enc_proj.astype(bf)[:, :, None, :]
+            + pred_proj.astype(bf)[:, None, :, :]
+        )
+        logits = jax.lax.dot_general(
+            hidden, w.astype(bf),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b
+        return transducer_loss(
+            logits, jnp.asarray(llen), jnp.asarray(targets),
+            jnp.asarray(tlen),
+        )
+
+    def test_matches_oracle(self):
+        from nabu_tpu.ops.pallas.transducer import transducer_loss_fused
+
+        for seed in (0, 1, 2):
+            args = [jnp.asarray(a) for a in self._case(seed)]
+            ref = self._oracle(*args)
+            got = transducer_loss_fused(
+                args[0], args[1], args[2], args[3],
+                args[6], args[4], args[5],
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+            )
+
+    def test_gradients_match_oracle(self):
+        from nabu_tpu.ops.pallas.transducer import transducer_loss_fused
+
+        enc_proj, pred_proj, w, b, targets, tlen, llen = self._case(3)
+        args = (jnp.asarray(enc_proj), jnp.asarray(pred_proj),
+                jnp.asarray(w), jnp.asarray(b))
+
+        def f_ref(e, p, w_, b_):
+            return self._oracle(e, p, w_, b_, targets, tlen, llen).sum()
+
+        def f_got(e, p, w_, b_):
+            return transducer_loss_fused(
+                e, p, w_, b_, jnp.asarray(llen), jnp.asarray(targets),
+                jnp.asarray(tlen),
+            ).sum()
+
+        gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(*args)
+        gg = jax.grad(f_got, argnums=(0, 1, 2, 3))(*args)
+        for name, a, c in zip(("denc", "dpred", "dw", "db"), gr, gg):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-6
+            err = float(jnp.max(jnp.abs(a - c)))
+            # both sides run the joint in bf16 but differ in reduction
+            # order; grads agree to bf16-accumulation tolerance
+            assert err / scale < 2e-2, (name, err, scale)
+
+    def test_head_loss_integration(self):
+        """rnnt head with use_pallas through make_loss_computer equals
+        the unfused head (same params) to bf16 tolerance, with grads."""
+        import nabu_tpu.models  # noqa: F401
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.ops.losses import make_loss_computer
+
+        def build(use_pallas):
+            cfg = ConfigFile({
+                "model": Conf({"compute_dtype": "bfloat16"}, "model"),
+                "encoder": Conf({
+                    "encoder": "dnn", "num_layers": "1",
+                    "num_units": "16",
+                }, "encoder"),
+                "decoder": Conf({
+                    "decoder": "rnnt", "num_units": "12",
+                    "embed_dim": "8", "joint_units": "16",
+                    "use_pallas": str(use_pallas).lower(),
+                }, "decoder"),
+            })
+            model = build_model(cfg, input_dim=10, num_labels=6)
+            return model, make_loss_computer(model)
+
+        rng = np.random.RandomState(5)
+        batch = {
+            "features": rng.randn(4, 9, 10).astype(np.float32),
+            "feature_lengths": np.array([9, 7, 5, 9], np.int32),
+            "targets": rng.randint(0, 6, (4, 5)).astype(np.int32),
+            "target_lengths": np.array([5, 3, 2, 0], np.int32),
+            "example_mask": np.array([1.0, 1.0, 1.0, 0.0], np.float32),
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key = jax.random.PRNGKey(0)
+
+        m0, loss0 = build(False)
+        m1, loss1 = build(True)
+        params = m0.init(jax.random.PRNGKey(1))
+
+        l0, g0 = jax.value_and_grad(
+            lambda p: loss0(p, batch, key, False)[0]
+        )(params)
+        l1, g1 = jax.value_and_grad(
+            lambda p: loss1(p, batch, key, False)[0]
+        )(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=2e-3,
+                                   atol=2e-3)
+        for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-2, atol=5e-3
+            )
