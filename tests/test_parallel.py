@@ -402,3 +402,44 @@ class TestTransducerSharding:
         got = rec(params, feats, lens)
         for b in range(8):
             assert got.best(b) == ref.best(b)
+
+    def test_fused_loss_data_parallel_matches(self):
+        """The fused Pallas joint+loss kernel (use_pallas rnnt head)
+        must be GSPMD-transparent like the unfused lattice path."""
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.ops.losses import make_loss_computer
+
+        cfg = ConfigFile({
+            "encoder": Conf({
+                "encoder": "listener", "num_layers": "1",
+                "num_units": "16",
+            }, "encoder"),
+            "decoder": Conf({
+                "decoder": "rnnt", "num_units": "12", "embed_dim": "8",
+                "joint_units": "16", "use_pallas": "true",
+            }, "decoder"),
+        })
+        model = build_model(cfg, input_dim=16, num_labels=8)
+        loss_fn = make_loss_computer(model)
+        params = model.init(jax.random.PRNGKey(0))
+        batch_host = _batch()
+        rng = jax.random.PRNGKey(7)
+
+        def loss_of(params, batch):
+            return loss_fn(params, batch, rng, False)[0]
+
+        l_ref, g_ref = jax.value_and_grad(loss_of)(
+            params, jax.tree.map(jnp.asarray, batch_host)
+        )
+        mesh = mesh_lib.make_mesh()
+        params_s = mesh_lib.shard_params(mesh, params)
+        batch_s = mesh_lib.shard_batch(mesh, batch_host)
+        l_par, g_par = jax.jit(jax.value_and_grad(loss_of))(
+            params_s, batch_s
+        )
+        np.testing.assert_allclose(float(l_par), float(l_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_par), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
