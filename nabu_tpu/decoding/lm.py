@@ -58,6 +58,10 @@ class NgramLM:
         reserved for the sentence boundary."""
         if order < 1:
             raise ValueError("order must be >= 1")
+        if not sequences:
+            raise ValueError(
+                "cannot train an LM on an empty corpus (no sequences)"
+            )
         V = vocab
         b = V - 1
 

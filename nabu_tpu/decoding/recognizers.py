@@ -45,8 +45,12 @@ class Recognizer:
     """Base recognizer built from a recognizer.cfg section.
 
     Beam recognizers accept ``lm_path`` (an NgramLM .npz trained with
-    ``run lm``) + ``lm_weight`` for shallow fusion.
+    ``run lm``) + ``lm_weight`` for shallow fusion; configuring them on
+    a recognizer without fusion support is an error, not a silent
+    no-op.
     """
+
+    supports_lm_fusion = False
 
     def __init__(self, conf: Conf, model, head: Optional[str] = None):
         self.conf = conf
@@ -57,9 +61,21 @@ class Recognizer:
         self.lm_weight = conf.getfloat("lm_weight", 0.0)
         lm_path = conf.get("lm_path")
         if lm_path and self.lm_weight != 0.0:
+            if not self.supports_lm_fusion:
+                raise ValueError(
+                    f"recognizer {type(self).__name__} does not support "
+                    "LM shallow fusion (lm_path/lm_weight); use a beam "
+                    "recognizer or `run rescore`"
+                )
             from nabu_tpu.decoding.lm import load_dense_lm
 
             self.lm = load_dense_lm(lm_path)
+            if self.lm.vocab != self.decoder.output_dim:
+                raise ValueError(
+                    f"LM vocab {self.lm.vocab} != model output vocab "
+                    f"{self.decoder.output_dim} — the LM must be "
+                    "trained on this recipe's alphabet (`run lm`)"
+                )
 
     def __call__(self, params, features, feature_lengths) -> Nbest:
         raise NotImplementedError
@@ -190,6 +206,8 @@ class AttentionBeamRecognizer(Recognizer):
     decoders/beam_search_decoder.py). conf: beam_width, nbest,
     max_steps / max_length_ratio, length_norm_power, eos_bonus."""
 
+    supports_lm_fusion = True
+
     def __init__(self, conf, model, head=None):
         super().__init__(conf, model, head)
         if not hasattr(self.decoder, "step"):
@@ -240,6 +258,8 @@ class AttentionBeamRecognizer(Recognizer):
 class CTCBeamRecognizer(Recognizer):
     """Batched CTC prefix beam search (reference: ctc_decoder.py).
     conf: beam_width, nbest, max_label_len."""
+
+    supports_lm_fusion = True
 
     def __init__(self, conf, model, head=None):
         super().__init__(conf, model, head)
@@ -354,6 +374,8 @@ class TransducerBeamRecognizer(Recognizer):
     """Batched time-synchronous RNN-T beam search (beyond-parity;
     decoding/transducer.py). conf: beam_width, nbest, max_symbols,
     length_norm_power, max_label_len."""
+
+    supports_lm_fusion = True
 
     def __init__(self, conf, model, head=None):
         super().__init__(conf, model, head)

@@ -127,6 +127,14 @@ def _fwd_kernel(
     j = pl.program_id(0)
     tlen = tlen_ref[:]  # [B, 1]
 
+    @pl.when(j == 0)
+    def _():
+        # TPU VMEM scratch is uninitialized; lanes that never take a
+        # valid step (tlen == 0 fill rows) must still emit finite
+        # alphas or their (masked) nll could NaN-poison the loss sum
+        alpha_s[:] = jnp.full_like(alpha_s, NEG)
+        lpb_s[:] = jnp.zeros_like(lpb_s)
+
     def body(i, _):
         t = j * block_t + i
         _, _, lp_blank, lp_emit = _joint_row(
@@ -500,13 +508,43 @@ def transducer_loss_fused(
 ) -> jnp.ndarray:
     """Per-example RNN-T NLL with the joint network fused into the
     lattice DP (no [B,T,U,V] or [B,T,U,J] tensors ever reach HBM).
-    blank defaults to the last output index."""
+    blank defaults to the last output index.
+
+    The backward keeps a [B, U+1, J] f32 gradient accumulator plus a
+    few same-sized intermediates fully VMEM-resident; configs whose
+    working set would blow the VMEM budget (huge batch x long targets x
+    wide joint) fall back to the rematerialized-lattice oracle path at
+    trace time rather than failing to compile.
+    """
     V = w_out.shape[1]
     if blank_id is None:
         blank_id = V - 1
     blank_id = blank_id % V
-    nll = _transducer_fused(
+
+    B, _, J = enc_proj.shape
+    U1 = pred_proj.shape[1]
+    Bp, U1p = _round_up(B, 8), _round_up(U1, 128)
+    Jp, Vp = _round_up(J, 128), _round_up(V, 128)
+    # dominant backward working set: dpred_s + ~3 dx/dh-sized f32
+    # intermediates + the one-hot table (all [Bp, U1p, ·] f32)
+    est = Bp * U1p * (4 * Jp * 4 + Vp * 8)
+    if est > 80 * 1024 * 1024:
+        from nabu_tpu.ops.transducer import transducer_loss
+
+        def lattice(e, p, w_, b_):
+            hidden = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+            return jax.lax.dot_general(
+                hidden, w_,
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_
+
+        logits = jax.checkpoint(lattice)(enc_proj, pred_proj, w_out, b_out)
+        return transducer_loss(
+            logits, logit_lengths, targets, target_lengths, blank_id
+        )
+
+    return _transducer_fused(
         enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
         target_lengths, blank_id, interpret, block_t,
     )
-    return nll

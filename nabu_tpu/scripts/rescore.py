@@ -17,6 +17,33 @@ from nabu_tpu.decoding.lm import NgramLM, rescore_nbest
 from nabu_tpu.scripts.common import ids_to_text
 
 
+def _text_to_ids(proc: TextProcessor, tokenizer: str, text: str):
+    """Invert ids_to_text losslessly.
+
+    The char tokenizer's output joins tokens with no separator, so a
+    multi-char alphabet token (``<unk>``, ``<space>`` rendered as a
+    space) must be recovered by greedy longest-match over the alphabet
+    — re-running the char TextProcessor would split ``<unk>`` into five
+    character tokens and corrupt the LM score."""
+    if tokenizer != "char":
+        return list(proc.process(text))
+    literals = sorted(
+        ((" " if t == "<space>" else t, i)
+         for i, t in enumerate(proc.alphabet)),
+        key=lambda p: -len(p[0]),
+    )
+    ids, i = [], 0
+    while i < len(text):
+        for lit, tid in literals:
+            if lit and text.startswith(lit, i):
+                ids.append(tid)
+                i += len(lit)
+                break
+        else:
+            i += 1  # character outside the alphabet: drop
+    return ids
+
+
 def main(
     recipe_path: str,
     expdir: str,
@@ -49,7 +76,9 @@ def main(
             if not line.strip():
                 continue
             utt, score, text = (line.split(" ", 2) + [""])[:3]
-            entries.append((utt, float(score), list(proc.process(text))))
+            entries.append(
+                (utt, float(score), _text_to_ids(proc, tokenizer, text))
+            )
 
     rescored = rescore_nbest(entries, lm, lm_weight, length_bonus)
     out_path = os.path.join(expdir, "decoded", "rescored.txt")

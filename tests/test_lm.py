@@ -324,3 +324,64 @@ class TestRescore:
         assert lines[0].startswith("utt0") and lines[2].startswith("utt1")
         # scores include the LM term (differ from the AM-only input)
         assert float(lines[2].split()[1]) != -0.5
+
+
+class TestReviewFixes:
+    def test_empty_corpus_raises(self):
+        with pytest.raises(ValueError):
+            NgramLM.train([], vocab=4, order=2)
+
+    def test_greedy_recognizer_rejects_lm_config(self):
+        import nabu_tpu.models  # noqa: F401
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.decoding.recognizers import build_recognizer
+        from nabu_tpu.models.model import build_model
+
+        cfg = ConfigFile({
+            "encoder": Conf({"encoder": "dnn", "num_units": "8"},
+                            "encoder"),
+            "decoder": Conf({"decoder": "linear_ctc"}, "decoder"),
+        })
+        model = build_model(cfg, input_dim=4, num_labels=3)
+        with pytest.raises(ValueError, match="fusion"):
+            build_recognizer(
+                Conf({"recognizer": "ctc_greedy",
+                      "lm_path": "/nonexistent.npz",
+                      "lm_weight": "0.3"}), model,
+            )
+
+    def test_beam_recognizer_rejects_vocab_mismatch(self, tmp_path):
+        import nabu_tpu.models  # noqa: F401
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.decoding.recognizers import build_recognizer
+        from nabu_tpu.models.model import build_model
+
+        lm = NgramLM.train([[0, 1]], vocab=3, order=2)  # 2-label LM
+        path = str(tmp_path / "lm.npz")
+        lm.save(path)
+        cfg = ConfigFile({
+            "encoder": Conf({"encoder": "dnn", "num_units": "8"},
+                            "encoder"),
+            "decoder": Conf({"decoder": "linear_ctc"}, "decoder"),
+        })
+        model = build_model(cfg, input_dim=4, num_labels=5)  # 5 labels
+        with pytest.raises(ValueError, match="vocab"):
+            build_recognizer(
+                Conf({"recognizer": "ctc_beam", "lm_path": path,
+                      "lm_weight": "0.3"}), model,
+            )
+
+    def test_rescore_text_roundtrip_multichar_tokens(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.data.processors import TextProcessor
+        from nabu_tpu.scripts.common import ids_to_text
+        from nabu_tpu.scripts.rescore import _text_to_ids
+
+        proc = TextProcessor(Conf({
+            "alphabet": "<space> <unk> a b", "tokenizer": "char",
+        }))
+        ids = [2, 0, 1, 3, 2]  # "a <space> <unk> b a"
+        text = ids_to_text(ids, proc.alphabet, "char")
+        assert text == "a <unk>ba"
+        got = _text_to_ids(proc, "char", text)
+        assert got == ids, (got, ids)

@@ -482,3 +482,60 @@ class TestTransducerFused:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=5e-2, atol=5e-3
             )
+
+
+class TestTransducerFusedEdgeCases:
+    def test_zero_length_lanes_stay_finite(self):
+        """Fill rows (logit_length 0, target_length 0) must produce a
+        finite (maskable) nll, not scratch garbage."""
+        from nabu_tpu.ops.pallas.transducer import transducer_loss_fused
+
+        rng = np.random.RandomState(0)
+        B, T, U, J, V = 4, 5, 3, 8, 4
+        args = (
+            jnp.asarray(rng.randn(B, T, J).astype(np.float32)),
+            jnp.asarray(rng.randn(B, U + 1, J).astype(np.float32)),
+            jnp.asarray(rng.randn(J, V).astype(np.float32)),
+            jnp.asarray(rng.randn(V).astype(np.float32)),
+        )
+        llen = jnp.asarray([5, 0, 3, 0], np.int32)
+        tlen = jnp.asarray([3, 0, 1, 0], np.int32)
+        tgt = jnp.asarray(rng.randint(0, V - 1, (B, U)), jnp.int32)
+        nll = transducer_loss_fused(*args, llen, tgt, tlen)
+        assert bool(jnp.isfinite(nll).all()), np.asarray(nll)
+        g = jax.grad(
+            lambda e: transducer_loss_fused(
+                e, args[1], args[2], args[3], llen, tgt, tlen
+            )[0]  # grad through a real lane only
+        )(args[0])
+        assert bool(jnp.isfinite(g).all())
+
+    def test_vmem_fallback_matches_oracle(self):
+        """Shapes beyond the VMEM budget fall back to the oracle path."""
+        from nabu_tpu.ops.pallas.transducer import transducer_loss_fused
+        from nabu_tpu.ops.transducer import transducer_loss
+
+        rng = np.random.RandomState(1)
+        B, T, U, J, V = 8, 2, 3, 5120, 4  # J blows the estimate
+        enc = (rng.randn(B, T, J) * 0.05).astype(np.float32)
+        pred = (rng.randn(B, U + 1, J) * 0.05).astype(np.float32)
+        w = (rng.randn(J, V) * 0.02).astype(np.float32)
+        b = rng.randn(V).astype(np.float32)
+        tgt = rng.randint(0, V - 1, (B, U)).astype(np.int32)
+        llen = np.full((B,), T, np.int32)
+        tlen = np.full((B,), U, np.int32)
+        got = transducer_loss_fused(
+            jnp.asarray(enc), jnp.asarray(pred), jnp.asarray(w),
+            jnp.asarray(b), jnp.asarray(llen), jnp.asarray(tgt),
+            jnp.asarray(tlen),
+        )
+        hidden = jnp.tanh(
+            jnp.asarray(enc)[:, :, None, :] + jnp.asarray(pred)[:, None]
+        )
+        logits = hidden @ jnp.asarray(w) + jnp.asarray(b)
+        ref = transducer_loss(
+            logits, jnp.asarray(llen), jnp.asarray(tgt), jnp.asarray(tlen)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
