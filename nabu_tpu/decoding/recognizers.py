@@ -471,6 +471,90 @@ class TransducerStreamingRecognizer(Recognizer):
         return Nbest(ids=ids, lengths=lens, scores=scores[:, None])
 
 
+@RECOGNIZERS.register("joint_ctc_att_beam")
+@RECOGNIZERS.register("joint_beam")
+class JointCTCAttBeamRecognizer(Recognizer):
+    """One-pass hybrid CTC/attention beam search over a multi-head
+    model (decoding/joint.py — beyond-parity; the proper decoder for
+    the joint CTC/attention flagship). conf: att_head, ctc_head,
+    ctc_weight, beam_width, nbest, pre_beam, max_steps /
+    max_length_ratio, length_norm_power, lm_path/lm_weight."""
+
+    supports_lm_fusion = True
+
+    def __init__(self, conf, model, head=None):
+        att_head = conf.get("att_head") or conf.get("head")
+        att = att_head or next(
+            (n for n, d in model.decoders.items() if hasattr(d, "step")),
+            None,
+        )
+        if att is None or not hasattr(model.decoders[att], "step"):
+            raise ValueError("joint decoding needs an attention head")
+        super().__init__(conf, model, att)
+        ctc = conf.get("ctc_head") or next(
+            (n for n, d in model.decoders.items()
+             if getattr(d, "default_loss", None) == "ctc"),
+            None,
+        )
+        if ctc is None:
+            raise ValueError("joint decoding needs a CTC head")
+        self.ctc_head = ctc
+        self.ctc_decoder = model.decoders[ctc]
+        self.ctc_weight = conf.getfloat("ctc_weight", 0.3)
+        self.beam_width = conf.getint("beam_width", 4)
+        self.nbest = min(conf.getint("nbest", 1), self.beam_width)
+        self.pre_beam = conf.getint("pre_beam", 0)
+        self.max_steps = conf.getint("max_steps", 0)
+        self.length_ratio = conf.getfloat("max_length_ratio", 1.0)
+        self.length_norm_power = conf.getfloat("length_norm_power", 0.0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        from nabu_tpu.decoding.joint import joint_ctc_att_beam_search
+
+        encoded, enc_lengths = self.model.encode(
+            params, features, feature_lengths
+        )
+        ctc_logits, _ = self.model.decoders[self.ctc_head].apply(
+            self.model._cast_in(params["decoders"][self.ctc_head]),
+            encoded, enc_lengths,
+        )
+        ctc_lp = jax.nn.log_softmax(
+            ctc_logits.astype(jnp.float32), axis=-1
+        )
+        max_steps = self.max_steps or max(
+            int(encoded.shape[1] * self.length_ratio), 8
+        )
+        return joint_ctc_att_beam_search(
+            self.decoder,
+            self.model._cast_in(params["decoders"][self.head]),
+            encoded,
+            enc_lengths,
+            ctc_lp,
+            beam_width=self.beam_width,
+            max_steps=max_steps,
+            ctc_weight=self.ctc_weight,
+            pre_beam=self.pre_beam,
+            length_norm_power=self.length_norm_power,
+            blank_id=getattr(
+                self.ctc_decoder, "blank_id", ctc_lp.shape[-1] - 1
+            ),
+            lm=self.lm,
+            lm_weight=self.lm_weight,
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        seqs, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        n = self.nbest
+        return Nbest(
+            ids=np.asarray(seqs)[:, :n],
+            lengths=np.asarray(lengths)[:, :n],
+            scores=np.asarray(scores)[:, :n],
+        )
+
+
 def build_recognizer(conf: Conf, model) -> Recognizer:
     """Factory by conf['recognizer'] (reference: decoder_factory.py)."""
     return RECOGNIZERS.build(conf.get("recognizer", "ctc_greedy"), conf, model)

@@ -126,3 +126,39 @@ def test_ctc_head_decodes_same_checkpoint(trained_joint):
             hyps.append(out.best(b))
     rate, _, _ = error_rate(refs, hyps)
     assert rate < 0.5, f"ctc head error rate {rate}"
+
+
+def test_joint_one_pass_decoding(trained_joint):
+    """The hybrid CTC/attention beam decodes the trained joint model at
+    least as well as either single head (it is the flagship's proper
+    decoder)."""
+    _, recipe, expdir, _ = trained_joint
+    from nabu_tpu.config import Conf, Recipe
+    from nabu_tpu.decoding.recognizers import build_recognizer
+    from nabu_tpu.decoding.scorer import error_rate
+    from nabu_tpu.scripts.common import make_loader, model_from_recipe
+    from nabu_tpu.scripts.test import load_best_params
+
+    r = Recipe(recipe)
+    model, _ = model_from_recipe(r, expdir, "devfeatures", "devtargets")
+    loader, _, _ = make_loader(
+        r, expdir,
+        Conf({"features": "devfeatures", "targets": "devtargets"}),
+        batch_size=8, num_buckets=1,
+    )
+    params = load_best_params(expdir, model)
+    rec = build_recognizer(
+        Conf({"recognizer": "joint_beam", "beam_width": "4",
+              "ctc_weight": "0.3", "length_norm_power": "1.0"}),
+        model,
+    )
+    refs, hyps = [], []
+    for batch in loader.epoch(0, shuffle=False):
+        out = rec(params, batch.features, batch.feature_lengths)
+        for b in range(len(batch.utt_ids)):
+            if not batch.example_mask[b]:
+                continue
+            refs.append(list(batch.targets[b, : batch.target_lengths[b]]))
+            hyps.append(out.best(b))
+    rate, _, _ = error_rate(refs, hyps)
+    assert rate < 0.35, f"joint decoding error rate {rate}"
