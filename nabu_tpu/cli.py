@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="database.conf targets section to train on")
 
     sp = sub.add_parser(
+        "bpe", help="train a subword (BPE) vocabulary from transcriptions"
+    )
+    common(sp)
+    sp.add_argument("--vocab_size", type=int, default=500)
+    sp.add_argument("--targets", default="traintargets")
+    sp.add_argument("--out", default=None,
+                    help="model path (default <expdir>/bpe/bpe.json)")
+
+    sp = sub.add_parser(
         "rescore", help="LM-rescore a decoded n-best list"
     )
     common(sp)
@@ -211,6 +220,13 @@ def main(argv=None) -> int:
         from nabu_tpu.scripts import lm
 
         lm.main(args.recipe, args.expdir, args.order, args.targets)
+    elif args.command == "bpe":
+        from nabu_tpu.scripts import bpe
+
+        bpe.main(
+            args.recipe, args.expdir, args.vocab_size, args.targets,
+            args.out,
+        )
     elif args.command == "rescore":
         from nabu_tpu.scripts import rescore
 

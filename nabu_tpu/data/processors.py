@@ -111,17 +111,31 @@ class TextProcessor(Processor):
     """Transcription -> int32 label ids via a config alphabet.
 
     conf keys: ``alphabet`` (space-separated tokens), ``normalizer``
-    (registry name), ``tokenizer`` = char|word (how to split the
+    (registry name), ``tokenizer`` = char|word|bpe (how to split the
     normalized text into alphabet tokens). Unknown tokens map to the
     index of '<unk>' when present, else are dropped.
+
+    ``tokenizer = bpe`` additionally needs ``bpe_model`` (a JSON from
+    ``run bpe``); the BPE vocabulary then IS the alphabet, so the
+    ``alphabet`` key may be omitted.
     """
 
     def __init__(self, conf: Conf):
         super().__init__(conf)
-        self.alphabet: List[str] = conf.getlist("alphabet")
+        self.tokenizer = conf.get("tokenizer", "word")
+        self.bpe = None
+        if self.tokenizer == "bpe":
+            from nabu_tpu.data.bpe import BPEModel
+
+            path = conf.get("bpe_model")
+            if not path:
+                raise ValueError("tokenizer = bpe requires 'bpe_model'")
+            self.bpe = BPEModel.load(path)
+            self.alphabet = list(self.bpe.vocab)
+        else:
+            self.alphabet: List[str] = conf.getlist("alphabet")
         if not self.alphabet:
             raise ValueError("text processor requires an 'alphabet'")
-        self.tokenizer = conf.get("tokenizer", "word")
         self.normalizer = TARGET_NORMALIZERS.get(
             conf.get("normalizer", "none")
         )
@@ -135,6 +149,8 @@ class TextProcessor(Processor):
         return len(self.alphabet)
 
     def tokenize(self, text: str) -> List[str]:
+        if self.tokenizer == "bpe":
+            return self.bpe.encode(text)
         if self.tokenizer == "char":
             # represent space as the token '<space>' when in the alphabet
             toks = []
@@ -162,6 +178,10 @@ class TextProcessor(Processor):
 
     def ids_to_text(self, ids) -> str:
         toks = [self.alphabet[i] for i in ids if 0 <= i < len(self.alphabet)]
+        if self.tokenizer == "bpe":
+            from nabu_tpu.data.bpe import BPEModel
+
+            return BPEModel.decode(toks)
         if self.tokenizer == "char":
             return "".join(" " if t == "<space>" else t for t in toks)
         return " ".join(toks)

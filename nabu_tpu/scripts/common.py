@@ -84,6 +84,10 @@ def model_from_recipe(
 
 def ids_to_text(ids, alphabet, tokenizer: str = "word") -> str:
     toks = [alphabet[i] for i in ids if 0 <= i < len(alphabet)]
+    if tokenizer == "bpe":
+        from nabu_tpu.data.bpe import BPEModel
+
+        return BPEModel.decode(toks)
     if tokenizer == "char":
         return "".join(" " if t == "<space>" else t for t in toks)
     return " ".join(toks)
