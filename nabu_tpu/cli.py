@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lm", default=None, help="LM .npz (from `run lm`)")
     sp.add_argument("--lm_weight", type=float, default=0.3)
     sp.add_argument("--length_bonus", type=float, default=0.0)
+
+    sp = sub.add_parser(
+        "recognize", help="decode audio files directly (no data prep)"
+    )
+    common(sp)
+    sp.add_argument("audio", nargs="+",
+                    help="wav/sph paths, or one Kaldi-style .scp file")
+    sp.add_argument("--batch_size", type=int, default=8)
     return p
 
 
@@ -233,6 +241,12 @@ def main(argv=None) -> int:
         rescore.main(
             args.recipe, args.expdir, args.lm, args.lm_weight,
             args.length_bonus,
+        )
+    elif args.command == "recognize":
+        from nabu_tpu.scripts import recognize
+
+        recognize.main(
+            args.recipe, args.expdir, args.audio, args.batch_size
         )
     return 0
 

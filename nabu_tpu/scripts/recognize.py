@@ -1,0 +1,76 @@
+"""`run recognize`: one-shot decoding of audio files (no data prep).
+
+Beyond-parity serving-style command: takes wav/SPHERE paths (or a
+Kaldi-style scp) straight on the command line, computes features with
+the recipe's frontend, decodes with the recipe's recognizer against the
+best-validated checkpoint, and prints ``utt_id hypothesis`` lines —
+the "give me text for this file" path a deployment needs, without
+writing a dataset.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from nabu_tpu.config import Recipe
+from nabu_tpu.data.processors import (
+    TextProcessor,
+    make_processor,
+    read_datafile,
+)
+from nabu_tpu.decoding.recognizers import build_recognizer
+from nabu_tpu.models.model import build_model
+from nabu_tpu.scripts.common import ids_to_text
+from nabu_tpu.scripts.test import load_best_params
+
+
+def main(
+    recipe_path: str,
+    expdir: str,
+    audio: List[str],
+    batch_size: int = 8,
+) -> List[Tuple[str, str]]:
+    """``audio``: wav/sph paths, or a single ``*.scp`` datafile path.
+    Returns (and prints) [(utt_id, hypothesis text)]."""
+    recipe = Recipe(recipe_path)
+    rconf = recipe.recognizer.section("recognizer")
+    feat_conf = recipe.database.section(
+        rconf.get("features", "testfeatures")
+    )
+    tgt_conf = recipe.database.section(rconf.get("targets", "testtargets"))
+
+    audio_proc = make_processor(feat_conf)
+    text_proc = TextProcessor(tgt_conf)
+    model = build_model(
+        recipe.model, audio_proc.computer.dim, text_proc.num_labels
+    )
+    params = load_best_params(expdir, model)
+    recognizer = build_recognizer(rconf, model)
+    tokenizer = tgt_conf.get("tokenizer", "word")
+
+    if len(audio) == 1 and audio[0].endswith(".scp"):
+        entries = read_datafile(audio[0])
+    else:
+        entries = [
+            (os.path.splitext(os.path.basename(p))[0], p) for p in audio
+        ]
+
+    results: List[Tuple[str, str]] = []
+    for start in range(0, len(entries), batch_size):
+        chunk = entries[start: start + batch_size]
+        feats = [audio_proc.process(value) for _, value in chunk]
+        T = max(f.shape[0] for f in feats)
+        batch = np.zeros((len(feats), T, feats[0].shape[1]), np.float32)
+        lengths = np.zeros((len(feats),), np.int32)
+        for i, f in enumerate(feats):
+            batch[i, : f.shape[0]] = f
+            lengths[i] = f.shape[0]
+        out = recognizer(params, batch, lengths)
+        for i, (utt, _) in enumerate(chunk):
+            text = ids_to_text(out.best(i), text_proc.alphabet, tokenizer)
+            print(f"{utt} {text}")
+            results.append((utt, text))
+    return results

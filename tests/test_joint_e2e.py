@@ -162,3 +162,19 @@ def test_joint_one_pass_decoding(trained_joint):
             hyps.append(out.best(b))
     rate, _, _ = error_rate(refs, hyps)
     assert rate < 0.35, f"joint decoding error rate {rate}"
+
+
+def test_run_recognize_on_raw_wavs(trained_joint):
+    """`run recognize` decodes wav paths directly (no data prep)."""
+    root, recipe, expdir, _ = trained_joint
+    from nabu_tpu.scripts import recognize as recognize_script
+
+    scp, text = open(str(root / "dev" / "wav.scp")).readlines()[:2], {}
+    wavs = [line.split()[1] for line in scp]
+    for line in open(str(root / "dev" / "text")):
+        utt, _, t = line.partition(" ")
+        text[utt] = t.strip()
+    results = recognize_script.main(recipe, expdir, wavs)
+    assert len(results) == 2
+    correct = sum(text[utt] == hyp for utt, hyp in results)
+    assert correct >= 1, results  # trained model: mostly right
