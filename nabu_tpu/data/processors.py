@@ -177,14 +177,7 @@ class TextProcessor(Processor):
         return arr
 
     def ids_to_text(self, ids) -> str:
-        toks = [self.alphabet[i] for i in ids if 0 <= i < len(self.alphabet)]
-        if self.tokenizer == "bpe":
-            from nabu_tpu.data.bpe import BPEModel
-
-            return BPEModel.decode(toks)
-        if self.tokenizer == "char":
-            return "".join(" " if t == "<space>" else t for t in toks)
-        return " ".join(toks)
+        return ids_to_text(ids, self.alphabet, self.tokenizer)
 
     def metadata(self) -> Dict:
         meta = super().metadata()
@@ -195,6 +188,19 @@ class TextProcessor(Processor):
             tokenizer=self.tokenizer,
         )
         return meta
+
+
+def ids_to_text(ids, alphabet, tokenizer: str = "word") -> str:
+    """Canonical label-id detokenization (the ONE copy every consumer
+    delegates to: TextProcessor.ids_to_text, scripts.common)."""
+    toks = [alphabet[i] for i in ids if 0 <= i < len(alphabet)]
+    if tokenizer == "bpe":
+        from nabu_tpu.data.bpe import BPEModel
+
+        return BPEModel.decode(toks)
+    if tokenizer == "char":
+        return "".join(" " if t == "<space>" else t for t in toks)
+    return " ".join(toks)
 
 
 def make_processor(conf: Conf) -> Processor:

@@ -40,7 +40,6 @@ def _init_ctc_state(ctc_lp: jnp.ndarray, enc_mask: jnp.ndarray,
     """Scorer state of the EMPTY prefix: gamma^n = -inf, gamma^b[t] =
     sum of blank log-probs through t (emit nothing)."""
     B, T, _ = ctc_lp.shape
-    lp_blank = jnp.where(enc_mask, ctc_lp[:, :, blank_id], NEG_INF)
     r_b = jnp.cumsum(
         jnp.where(enc_mask, ctc_lp[:, :, blank_id], 0.0), axis=1
     )
@@ -145,7 +144,10 @@ def joint_ctc_att_beam_search(
     eos = decoder.eos_id
     if blank_id is None:
         blank_id = ctc_logprobs.shape[-1] - 1
-    K = min(pre_beam or V - 1, V - 1)  # non-eos candidates to CTC-score
+    # non-eos candidates that get CTC-scored per step; the default
+    # follows the usual pre-beam convention (~1.5x the beam) so the
+    # [B, W, K, T] scorer arrays stay small even for subword vocabs
+    K = min(pre_beam or max(int(1.5 * W), 2), V - 1)
     aw, cw = 1.0 - ctc_weight, ctc_weight
 
     enc_flat = jnp.repeat(encoded, W, axis=0)
@@ -203,13 +205,23 @@ def joint_ctc_att_beam_search(
         att_lp = jax.nn.log_softmax(
             logits.reshape(B, W, V).astype(jnp.float32), axis=-1
         )
-        if fuse:
-            att_lp = att_lp + lm_weight * lm.logprobs(s["lm_state"])
+        # LM fusion stays UNSCALED (the documented formula and the
+        # other fused beams' convention) — fold it into a separate
+        # proposal array so the (1-w) attention weight never touches it
+        lm_lp = (
+            lm_weight * lm.logprobs(s["lm_state"]) if fuse else None
+        )
 
-        # --- candidate pruning by attention score (non-eos tokens) ----
-        noneos_lp = att_lp.at[..., eos].set(NEG_INF)
-        top_att, cand = jax.lax.top_k(noneos_lp, K)  # [B, W, K]
+        # --- candidate pruning by combined proposal (non-eos) ----------
+        proposal = att_lp if lm_lp is None else att_lp + lm_lp
+        noneos_lp = proposal.at[..., eos].set(NEG_INF)
+        _, cand = jax.lax.top_k(noneos_lp, K)  # [B, W, K]
         cand = cand.astype(jnp.int32)
+        top_att = jnp.take_along_axis(att_lp, cand, axis=-1)
+        top_lm = (
+            jnp.take_along_axis(lm_lp, cand, axis=-1)
+            if lm_lp is not None else 0.0
+        )
 
         # --- CTC prefix scores for the pruned candidates ---------------
         psi_new, r_n_new, r_b_new = _ctc_extend(
@@ -218,9 +230,11 @@ def joint_ctc_att_beam_search(
         d_psi = psi_new - s["ctc"]["psi"][..., None]  # [B, W, K]
 
         # --- combined candidate matrix [B, W, K+1] (last col = eos) ----
-        step_tok = aw * top_att + cw * d_psi
+        step_tok = aw * top_att + cw * d_psi + top_lm
         d_eos = full_ctc(s["ctc"]) - s["ctc"]["psi"]  # [B, W]
         step_eos = aw * att_lp[..., eos] + cw * d_eos
+        if lm_lp is not None:
+            step_eos = step_eos + lm_lp[..., eos]
         cand_scores = jnp.concatenate(
             [step_tok, step_eos[..., None]], axis=-1
         ) + s["scores"][..., None]

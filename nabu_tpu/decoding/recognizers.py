@@ -483,7 +483,7 @@ class JointCTCAttBeamRecognizer(Recognizer):
     supports_lm_fusion = True
 
     def __init__(self, conf, model, head=None):
-        att_head = conf.get("att_head") or conf.get("head")
+        att_head = head or conf.get("att_head") or conf.get("head")
         att = att_head or next(
             (n for n, d in model.decoders.items() if hasattr(d, "step")),
             None,

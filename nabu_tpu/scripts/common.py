@@ -82,12 +82,4 @@ def model_from_recipe(
     return model, tgts.metadata
 
 
-def ids_to_text(ids, alphabet, tokenizer: str = "word") -> str:
-    toks = [alphabet[i] for i in ids if 0 <= i < len(alphabet)]
-    if tokenizer == "bpe":
-        from nabu_tpu.data.bpe import BPEModel
-
-        return BPEModel.decode(toks)
-    if tokenizer == "char":
-        return "".join(" " if t == "<space>" else t for t in toks)
-    return " ".join(toks)
+from nabu_tpu.data.processors import ids_to_text  # noqa: F401 (re-export)

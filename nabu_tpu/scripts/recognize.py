@@ -23,8 +23,11 @@ from nabu_tpu.data.processors import (
 )
 from nabu_tpu.decoding.recognizers import build_recognizer
 from nabu_tpu.models.model import build_model
-from nabu_tpu.scripts.common import ids_to_text
 from nabu_tpu.scripts.test import load_best_params
+
+# decode-time padding bucket (frames): bounds jit compilations to one
+# per occupied bucket instead of one per distinct chunk shape
+_T_BUCKET = 512
 
 
 def main(
@@ -44,12 +47,6 @@ def main(
 
     audio_proc = make_processor(feat_conf)
     text_proc = TextProcessor(tgt_conf)
-    model = build_model(
-        recipe.model, audio_proc.computer.dim, text_proc.num_labels
-    )
-    params = load_best_params(expdir, model)
-    recognizer = build_recognizer(rconf, model)
-    tokenizer = tgt_conf.get("tokenizer", "word")
 
     if len(audio) == 1 and audio[0].endswith(".scp"):
         entries = read_datafile(audio[0])
@@ -58,19 +55,40 @@ def main(
             (os.path.splitext(os.path.basename(p))[0], p) for p in audio
         ]
 
+    feat_cache: dict = {}
+
+    def features_of(value: str) -> np.ndarray:
+        if value not in feat_cache:
+            feat_cache[value] = audio_proc.process(value)
+        return feat_cache[value]
+
+    try:
+        input_dim = audio_proc.computer.dim
+    except NotImplementedError:
+        # e.g. raw-frames features, whose dim depends on the sample
+        # rate: probe the first file
+        input_dim = features_of(entries[0][1]).shape[1]
+    model = build_model(recipe.model, input_dim, text_proc.num_labels)
+    params = load_best_params(expdir, model)
+    recognizer = build_recognizer(rconf, model)
+
     results: List[Tuple[str, str]] = []
     for start in range(0, len(entries), batch_size):
         chunk = entries[start: start + batch_size]
-        feats = [audio_proc.process(value) for _, value in chunk]
+        feats = [features_of(value) for _, value in chunk]
+        # pad T to a bucket edge and the batch to batch_size so the
+        # jitted decode compiles once per bucket, not once per chunk
+        # (the expdir contract everywhere else: static padded shapes)
         T = max(f.shape[0] for f in feats)
-        batch = np.zeros((len(feats), T, feats[0].shape[1]), np.float32)
-        lengths = np.zeros((len(feats),), np.int32)
+        T = ((T + _T_BUCKET - 1) // _T_BUCKET) * _T_BUCKET
+        batch = np.zeros((batch_size, T, feats[0].shape[1]), np.float32)
+        lengths = np.zeros((batch_size,), np.int32)
         for i, f in enumerate(feats):
             batch[i, : f.shape[0]] = f
             lengths[i] = f.shape[0]
         out = recognizer(params, batch, lengths)
         for i, (utt, _) in enumerate(chunk):
-            text = ids_to_text(out.best(i), text_proc.alphabet, tokenizer)
+            text = text_proc.ids_to_text(out.best(i))
             print(f"{utt} {text}")
             results.append((utt, text))
     return results

@@ -107,6 +107,34 @@ class TestJointBeam:
         assert got == best_seq, (got, best_seq)
         assert abs(float(scores[0, 0]) - best) < 1e-4
 
+    def test_lm_fusion_is_unscaled(self):
+        """With ctc_weight=0 the joint search + LM must equal the
+        attention beam + LM exactly — i.e. the LM term is NOT scaled by
+        (1 - ctc_weight)."""
+        from nabu_tpu.decoding.lm import NgramLM
+
+        dec, params, encoded, enc_len, ctc_lp = self._setup(seed=5)
+        rng = np.random.RandomState(6)
+        lm = NgramLM.train(
+            [list(rng.randint(0, 2, rng.randint(1, 5))) for _ in range(30)],
+            vocab=3, order=2,
+        ).dense()
+        s0 = joint_ctc_att_beam_search(
+            dec, params, encoded, enc_len, ctc_lp, beam_width=8,
+            max_steps=3, ctc_weight=0.0, lm=lm, lm_weight=0.6,
+            pre_beam=2,
+        )
+        sa = attention_beam_search(
+            dec, params, encoded, enc_len, beam_width=8, max_steps=3,
+            lm=lm, lm_weight=0.6,
+        )
+        l0, la = int(s0[1][0, 0]), int(sa[1][0, 0])
+        assert l0 == la
+        assert list(np.asarray(s0[0])[0, 0, :l0]) == list(
+            np.asarray(sa[0])[0, 0, :la]
+        )
+        assert abs(float(s0[2][0, 0]) - float(sa[2][0, 0])) < 1e-4
+
     def test_batched_variable_lengths_match_single(self):
         dec, params = _tiny_speller(num_labels=3)
         rng = np.random.RandomState(3)
