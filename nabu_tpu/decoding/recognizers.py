@@ -19,7 +19,7 @@ import numpy as np
 
 from nabu_tpu.config import Conf
 from nabu_tpu.ops import ctc as ctc_ops
-from nabu_tpu.ops.masking import sequence_mask
+from nabu_tpu.ops.masking import NEG_INF, sequence_mask
 from nabu_tpu.registry import RECOGNIZERS
 
 
@@ -541,6 +541,117 @@ class JointCTCAttBeamRecognizer(Recognizer):
             ),
             lm=self.lm,
             lm_weight=self.lm_weight,
+        )
+
+    def __call__(self, params, features, feature_lengths) -> Nbest:
+        seqs, lengths, scores = self._decode(
+            params, jnp.asarray(features), jnp.asarray(feature_lengths)
+        )
+        n = self.nbest
+        return Nbest(
+            ids=np.asarray(seqs)[:, :n],
+            lengths=np.asarray(lengths)[:, :n],
+            scores=np.asarray(scores)[:, :n],
+        )
+
+
+@RECOGNIZERS.register("attention_rescoring")
+@RECOGNIZERS.register("ctc_att_rescoring")
+class AttentionRescoringRecognizer(Recognizer):
+    """Two-pass decoding over a multi-head model (beyond-parity,
+    WeNet-style): pass 1 decodes an n-best list with the CTC prefix
+    beam; pass 2 scores every hypothesis with the attention decoder
+    teacher-forced in ONE batched call ([B*W] hypotheses at once) and
+    re-ranks by ctc_weight * ctc + (1 - ctc_weight) * attention.
+    Cheaper than the one-pass joint beam (no per-step CTC scorer state)
+    while still letting both heads vote. conf: beam_width, nbest,
+    ctc_weight, att_head, ctc_head, max_label_len."""
+
+    def __init__(self, conf, model, head=None):
+        att = head or conf.get("att_head") or conf.get("head") or next(
+            (n for n, d in model.decoders.items() if hasattr(d, "step")),
+            None,
+        )
+        if att is None or not hasattr(model.decoders[att], "step"):
+            raise ValueError("attention rescoring needs an attention head")
+        super().__init__(conf, model, att)
+        ctc = conf.get("ctc_head") or next(
+            (n for n, d in model.decoders.items()
+             if getattr(d, "default_loss", None) == "ctc"),
+            None,
+        )
+        if ctc is None:
+            raise ValueError("attention rescoring needs a CTC head")
+        self.ctc_head = ctc
+        self.blank_id = getattr(
+            model.decoders[ctc], "blank_id",
+            model.decoders[ctc].output_dim - 1,
+        )
+        self.ctc_weight = conf.getfloat("ctc_weight", 0.5)
+        self.beam_width = conf.getint("beam_width", 8)
+        self.nbest = min(conf.getint("nbest", 1), self.beam_width)
+        self.max_label_len = conf.getint("max_label_len", 0)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _decode_impl(self, params, features, feature_lengths):
+        from nabu_tpu.decoding.ctc_beam import ctc_prefix_beam_search
+
+        encoded, enc_lengths = self.model.encode(
+            params, features, feature_lengths
+        )
+        ctc_logits, logit_lengths = self.model.decoders[
+            self.ctc_head
+        ].apply(
+            self.model._cast_in(params["decoders"][self.ctc_head]),
+            encoded, enc_lengths,
+        )
+        logprobs = jax.nn.log_softmax(
+            ctc_logits.astype(jnp.float32), axis=-1
+        )
+        seqs, lengths, ctc_scores = ctc_prefix_beam_search(
+            logprobs, logit_lengths,
+            beam_width=self.beam_width, blank_id=self.blank_id,
+            max_label_len=self.max_label_len or None,
+        )  # [B, W, L], [B, W], [B, W]
+
+        # pass 2: teacher-forced attention score of every hypothesis
+        B, W, L = seqs.shape
+        dec = self.decoder
+        dparams = self.model._cast_in(params["decoders"][self.head])
+        enc_rep = jnp.repeat(encoded, W, axis=0)
+        len_rep = jnp.repeat(enc_lengths, W, axis=0)
+        hyp = seqs.reshape(B * W, L)
+        hyp_len = lengths.reshape(B * W)
+        logits, _ = dec.apply(
+            dparams, enc_rep, len_rep, hyp, hyp_len
+        )  # [B*W, L+1, V] — step t predicts hyp[t], step len predicts eos
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = jnp.concatenate(
+            [hyp, jnp.zeros((B * W, 1), hyp.dtype)], axis=1
+        )
+        pos = jnp.arange(L + 1)[None, :]
+        tgt = jnp.where(pos == hyp_len[:, None], dec.eos_id, tgt)
+        tok_lp = jnp.take_along_axis(
+            lp, tgt[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        att_scores = jnp.sum(
+            jnp.where(pos <= hyp_len[:, None], tok_lp, 0.0), axis=1
+        ).reshape(B, W)
+
+        combined = (
+            self.ctc_weight * ctc_scores
+            + (1.0 - self.ctc_weight) * att_scores
+        )
+        # dead CTC slots stay dead
+        combined = jnp.where(
+            ctc_scores < NEG_INF / 2, NEG_INF, combined
+        )
+        order = jnp.argsort(-combined, axis=1)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        return (
+            jnp.take_along_axis(seqs, order[..., None], axis=1),
+            take(lengths),
+            take(combined),
         )
 
     def __call__(self, params, features, feature_lengths) -> Nbest:

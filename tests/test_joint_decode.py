@@ -212,3 +212,67 @@ class TestJointBeam:
         model = build_model(cfg, input_dim=4, num_labels=3)
         with pytest.raises(ValueError, match="attention head"):
             build_recognizer(Conf({"recognizer": "joint_beam"}), model)
+
+
+class TestAttentionRescoring:
+    def _model(self):
+        from nabu_tpu.models.model import build_model
+
+        cfg = ConfigFile({
+            "model": Conf({"decoders": "att ctc"}, "model"),
+            "encoder": Conf({
+                "encoder": "listener", "num_layers": "1",
+                "num_units": "16",
+            }, "encoder"),
+            "att": Conf({
+                "decoder": "speller", "num_units": "16",
+                "embed_dim": "8", "loss": "cross_entropy",
+            }, "att"),
+            "ctc": Conf({"decoder": "linear_ctc", "loss": "ctc"}, "ctc"),
+        })
+        model = build_model(cfg, input_dim=8, num_labels=4)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def test_ctc_weight_one_keeps_ctc_order(self):
+        from nabu_tpu.decoding.recognizers import build_recognizer
+
+        model, params = self._model()
+        rng = np.random.RandomState(7)
+        feats = rng.randn(2, 12, 8).astype(np.float32)
+        lens = np.asarray([12, 9], np.int32)
+        ctc_only = build_recognizer(
+            Conf({"recognizer": "ctc_beam", "head": "ctc",
+                  "beam_width": "4", "nbest": "4"}), model,
+        )(params, feats, lens)
+        resc = build_recognizer(
+            Conf({"recognizer": "attention_rescoring", "beam_width": "4",
+                  "nbest": "4", "ctc_weight": "1.0"}), model,
+        )(params, feats, lens)
+        for b in range(2):
+            assert resc.best(b) == ctc_only.best(b), b
+
+    def test_att_scores_match_chain(self):
+        """The batched teacher-forced rescoring equals per-hypothesis
+        chain scoring with the speller step API."""
+        from nabu_tpu.decoding.recognizers import build_recognizer
+
+        model, params = self._model()
+        rng = np.random.RandomState(8)
+        feats = rng.randn(1, 10, 8).astype(np.float32)
+        lens = np.asarray([10], np.int32)
+        rec = build_recognizer(
+            Conf({"recognizer": "attention_rescoring", "beam_width": "3",
+                  "nbest": "3", "ctc_weight": "0.0"}), model,
+        )
+        out = rec(params, feats, lens)
+
+        encoded, enc_len = model.encode(
+            params, jnp.asarray(feats), jnp.asarray(lens)
+        )
+        dec = model.decoders["att"]
+        dparams = model._cast_in(params["decoders"]["att"])
+        for n in range(3):
+            hyp = list(out.ids[0, n, : out.lengths[0, n]])
+            ref = _att_chain_score(dec, dparams, encoded, enc_len, hyp)
+            assert abs(float(out.scores[0, n]) - ref) < 1e-3, (n, hyp)
+
