@@ -70,6 +70,23 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
                 "loss_weight": "0.3",
             }, "ctc"),
         })
+    elif arch == "conformer_rnnt":
+        # conformer-transducer (config/recipes/conformer_rnnt_wsj)
+        cfg = ConfigFile({
+            "model": Conf({"compute_dtype": compute_dtype}, "model"),
+            "encoder": Conf({
+                "encoder": "conformer", "num_layers": "8",
+                "num_units": "256", "num_heads": "4",
+                "ffn_dim": "1024", "kernel_size": "15",
+                "subsample": "4",
+            }, "encoder"),
+            "decoder": Conf({
+                "decoder": "rnnt", "num_layers": "1",
+                "num_units": "320", "embed_dim": "128",
+                "joint_units": "320", "loss": "transducer",
+                "use_pallas": str(use_pallas_ctc).lower(),
+            }, "decoder"),
+        })
     elif arch == "rnnt":
         # beyond-parity transducer family: pyramidal listener (time/4
         # keeps the joint lattice small) + prediction/joint networks
@@ -294,7 +311,7 @@ def main():
                         default="train")
     parser.add_argument("--model",
                         choices=["dblstm", "las", "transformer",
-                                 "conformer", "rnnt"],
+                                 "conformer", "rnnt", "conformer_rnnt"],
                         default="dblstm",
                         help="dblstm = BASELINE config 2 CTC workhorse; "
                              "las = config 4/5 joint CTC/attention; "
@@ -348,7 +365,7 @@ def main():
                 max(args.steps // 4, 1), args.repeats,
             )
             metric = "attention_beam_decode_rtf"
-        elif args.model == "rnnt":
+        elif args.model in ("rnnt", "conformer_rnnt"):
             rtf = time_transducer_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats,

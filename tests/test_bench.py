@@ -61,3 +61,8 @@ def test_rnnt_decode_mode_smoke():
     rec = _run_bench("--model", "rnnt", "--mode", "decode",
                      "--skip_baseline", "--beam_width", "2")
     assert rec["metric"] == "transducer_beam_decode_rtf"
+
+
+def test_conformer_rnnt_mode_smoke():
+    rec = _run_bench("--model", "conformer_rnnt", "--skip_baseline")
+    assert rec["value"] > 0
