@@ -134,6 +134,12 @@ class Trainer:
         self.profile_start = conf.getint("profile_start", 0)
         self.profile_stop = conf.getint("profile_stop", 0)
         self.check_numerics = conf.getbool("check_numerics", True)
+        # ema_decay > 0 keeps an exponential moving average of the
+        # weights (Polyak averaging — the standard ASR eval trick):
+        # validation and the "best" checkpoint use the EMA params, so
+        # run test/decode automatically score the averaged model; the
+        # raw training params ride along for restore-best/backoff
+        self.ema_decay = conf.getfloat("ema_decay", 0.0)
 
         self.tx = build_optimizer(conf)
         self.loss_fn = loss_fn or make_loss_computer(model)
@@ -164,6 +170,13 @@ class Trainer:
             donate_argnums=(0,),
         )
         self._apply_step = jax.jit(self._apply_impl, donate_argnums=(0, 1, 2))
+        d = self.ema_decay
+        self._ema_step = jax.jit(
+            lambda ema, p: jax.tree.map(
+                lambda e, q: d * e + (1.0 - d) * q, ema, p
+            ),
+            donate_argnums=(0,),
+        )
 
     # -- one optimizer step ----------------------------------------------
     def _apply_grads(self, params, opt_state, grads, lr_scale):
@@ -209,7 +222,7 @@ class Trainer:
                 self.conf.get("pretrained_subtree"),
             )
         opt_state = self.tx.init(params)
-        return {
+        state = {
             "params": params,
             "opt_state": opt_state,
             "step": np.int64(0),
@@ -217,6 +230,9 @@ class Trainer:
             "best_metric": np.float32(np.inf),
             "tries": np.int64(0),
         }
+        if self.ema_decay > 0.0:
+            state["ema_params"] = jax.tree.map(np.copy, params)
+        return state
 
     # -- main loop -------------------------------------------------------
     def train(self, rng_seed: int = 0) -> Dict:
@@ -237,6 +253,11 @@ class Trainer:
         )
         opt_state = mesh_lib.shard_params(
             self.mesh, state["opt_state"], opt_specs
+        )
+        ema = (
+            mesh_lib.shard_params(self.mesh, state["ema_params"], specs)
+            if self.ema_decay > 0.0
+            else None
         )
         step = int(state["step"])
         lr_scale = float(state["lr_scale"])
@@ -320,6 +341,8 @@ class Trainer:
                     )
                     metrics["grad_norm"] = gnorm
                     accum, msum, micro = None, None, 0
+                if ema is not None:
+                    ema = self._ema_step(ema, params)
                 step += 1
                 if tracing and step >= self.profile_stop:
                     jax.profiler.stop_trace()
@@ -332,7 +355,7 @@ class Trainer:
                     ):
                         self._save_latest(
                             params, opt_state, step, lr_scale,
-                            best_metric, tries,
+                            best_metric, tries, ema,
                         )
                         self.ckpt.wait_until_finished()
                         raise FloatingPointError(
@@ -353,7 +376,8 @@ class Trainer:
 
                 if self.ckpt_frequency and step % self.ckpt_frequency == 0:
                     self._save_latest(
-                        params, opt_state, step, lr_scale, best_metric, tries
+                        params, opt_state, step, lr_scale, best_metric,
+                        tries, ema,
                     )
 
                 if (
@@ -361,7 +385,13 @@ class Trainer:
                     and self.valid_fn is not None
                     and step % self.valid_frequency == 0
                 ):
-                    valid_params = mesh_lib.fetch_to_host(params)
+                    # validate the EMA weights when averaging is on —
+                    # "best" then holds the averaged model that test/
+                    # decode load, with the raw weights alongside for
+                    # restore-best backoff
+                    valid_params = mesh_lib.fetch_to_host(
+                        ema if ema is not None else params
+                    )
                     metric = float(self.valid_fn(valid_params))
                     if self.writer:
                         self.writer.write(
@@ -371,14 +401,17 @@ class Trainer:
                         best_metric = metric
                         tries = 0
                         host_opt = mesh_lib.fetch_to_host(opt_state)
-                        self.ckpt.save_best(
-                            {
-                                "params": valid_params,
-                                "opt_state": host_opt,
-                                "step": np.int64(step),
-                                "metric": np.float32(metric),
-                            }
-                        )
+                        best_state = {
+                            "params": valid_params,
+                            "opt_state": host_opt,
+                            "step": np.int64(step),
+                            "metric": np.float32(metric),
+                        }
+                        if ema is not None:
+                            best_state["raw_params"] = (
+                                mesh_lib.fetch_to_host(params)
+                            )
+                        self.ckpt.save_best(best_state)
                     elif self.early_stopping:
                         tries += 1
                         if self.ckpt.exists("best"):
@@ -386,21 +419,26 @@ class Trainer:
                             # arrays serve as the restore TEMPLATE —
                             # orbax reads shape/dtype only, so no
                             # device_get of non-addressable globals
-                            best = self.ckpt.restore(
-                                "best",
-                                {
-                                    "params": params,
-                                    "opt_state": opt_state,
-                                    "step": np.int64(0),
-                                    "metric": np.float32(0),
-                                },
-                            )
+                            template = {
+                                "params": params,
+                                "opt_state": opt_state,
+                                "step": np.int64(0),
+                                "metric": np.float32(0),
+                            }
+                            if ema is not None:
+                                template["raw_params"] = params
+                            best = self.ckpt.restore("best", template)
+                            raw = best.get("raw_params", best["params"])
                             params = mesh_lib.shard_params(
-                                self.mesh, best["params"], specs
+                                self.mesh, raw, specs
                             )
                             opt_state = mesh_lib.shard_params(
                                 self.mesh, best["opt_state"], opt_specs
                             )
+                            if ema is not None:
+                                ema = mesh_lib.shard_params(
+                                    self.mesh, best["params"], specs
+                                )
                         lr_scale *= self.lr_backoff
                         if self.writer:
                             self.writer.write(
@@ -419,20 +457,27 @@ class Trainer:
             # num_steps): finalize so the trace is not lost
             jax.profiler.stop_trace()
         self._save_latest(
-            params, opt_state, step, lr_scale, best_metric, tries
+            params, opt_state, step, lr_scale, best_metric, tries, ema
         )
-        if self.valid_fn is None and not self.ckpt.exists("best"):
-            host_params = mesh_lib.fetch_to_host(params)
-            host_opt = mesh_lib.fetch_to_host(opt_state)
-            # no validation: final model doubles as best
-            self.ckpt.save_best(
-                {
-                    "params": host_params,
-                    "opt_state": host_opt,
-                    "step": np.int64(step),
-                    "metric": np.float32(np.inf),
-                }
+        if not self.ckpt.exists("best"):
+            # no "best" can only mean validation never ran (no valid_fn,
+            # valid_frequency 0, or num_steps < valid_frequency — the
+            # first validation always beats the initial inf): the final
+            # model (EMA when averaging) doubles as best so test/decode
+            # have something sensible to load
+            host_params = mesh_lib.fetch_to_host(
+                ema if ema is not None else params
             )
+            host_opt = mesh_lib.fetch_to_host(opt_state)
+            best_state = {
+                "params": host_params,
+                "opt_state": host_opt,
+                "step": np.int64(step),
+                "metric": np.float32(np.inf),
+            }
+            if ema is not None:
+                best_state["raw_params"] = mesh_lib.fetch_to_host(params)
+            self.ckpt.save_best(best_state)
         self.ckpt.wait_until_finished()
         if self.writer:
             self.writer.close()
@@ -443,21 +488,23 @@ class Trainer:
             "stopped_early": stop,
         }
 
-    def _save_latest(self, params, opt_state, step, lr_scale, best, tries):
+    def _save_latest(self, params, opt_state, step, lr_scale, best, tries,
+                     ema=None):
         # both the fetch and the orbax save are collective: every host
         # participates, orbax writes from the primary
         host_params = mesh_lib.fetch_to_host(params)
         host_opt = mesh_lib.fetch_to_host(opt_state)
-        self.ckpt.save_latest(
-            {
-                "params": host_params,
-                "opt_state": host_opt,
-                "step": np.int64(step),
-                "lr_scale": np.float32(lr_scale),
-                "best_metric": np.float32(best),
-                "tries": np.int64(tries),
-            }
-        )
+        state = {
+            "params": host_params,
+            "opt_state": host_opt,
+            "step": np.int64(step),
+            "lr_scale": np.float32(lr_scale),
+            "best_metric": np.float32(best),
+            "tries": np.int64(tries),
+        }
+        if ema is not None:
+            state["ema_params"] = mesh_lib.fetch_to_host(ema)
+        self.ckpt.save_latest(state)
 
 
 def build_trainer(conf: Conf, *args, **kwargs) -> Trainer:

@@ -304,3 +304,125 @@ def test_resume_mid_epoch_with_aggregation_matches_uninterrupted(tmp_path):
     p_resumed = run("resumed", stop_at=1, then_resume_to=4)
     for a, b in zip(jax.tree.leaves(p_straight), jax.tree.leaves(p_resumed)):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def _train_ema(tmp_path, name, ema_decay, num_steps=3, valid_fn=None):
+    import jax
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.parallel import mesh as mesh_lib
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    model = build_model(cfg, 6, 4)
+    tconf = Conf({
+        "num_steps": str(num_steps),
+        "log_frequency": "1",
+        "learning_rate": "1e-2",
+        "ema_decay": str(ema_decay),
+        "valid_frequency": "1" if valid_fn else "0",
+        # constant valid metrics would otherwise trigger restore-best
+        "early_stopping": "false",
+    }, "trainer")
+    loader = _make_loader(tmp_path / name)
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+    trainer = Trainer(
+        tconf, model, loader, str(tmp_path / f"exp_{name}"),
+        mesh=mesh, valid_fn=valid_fn,
+    )
+    result = trainer.train(rng_seed=0)
+    return model, trainer, result
+
+
+class TestEMA:
+    def test_decay_one_keeps_initial_weights(self, tmp_path):
+        """ema_decay = 1.0: validation always sees the INITIAL params."""
+        import jax
+
+        seen = []
+        model, trainer, _ = _train_ema(
+            tmp_path, "ema1", 1.0,
+            valid_fn=lambda p: seen.append(jax.device_get(p)) or 1.0,
+        )
+        init = model.init(jax.random.PRNGKey(0))
+        for leaf_a, leaf_b in zip(
+            jax.tree.leaves(seen[0]), jax.tree.leaves(init)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b), atol=1e-7
+            )
+
+    def test_decay_zero_tracks_raw_params(self, tmp_path):
+        """ema_decay -> 0 means EMA == current params each step, so the
+        validated weights equal the final trained weights."""
+        import jax
+
+        seen = []
+        model, trainer, result = _train_ema(
+            tmp_path, "ema0", 1e-9,
+            valid_fn=lambda p: seen.append(jax.device_get(p)) or 1.0,
+        )
+        final = jax.device_get(result["params"])
+        for leaf_a, leaf_b in zip(
+            jax.tree.leaves(seen[-1]), jax.tree.leaves(final)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_best_checkpoint_holds_ema_and_raw(self, tmp_path):
+        import jax
+
+        model, trainer, _ = _train_ema(
+            tmp_path, "emab", 0.5, valid_fn=lambda p: 1.0,
+        )
+        template = {
+            "params": model.init(jax.random.PRNGKey(0)),
+            "raw_params": model.init(jax.random.PRNGKey(0)),
+            "opt_state": trainer.tx.init(
+                model.init(jax.random.PRNGKey(0))
+            ),
+            "step": np.int64(0),
+            "metric": np.float32(0),
+        }
+        best = trainer.ckpt.restore("best", template)
+        # EMA (validated) params differ from the raw training params
+        diffs = [
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(
+                jax.tree.leaves(best["params"]),
+                jax.tree.leaves(best["raw_params"]),
+            )
+        ]
+        assert max(diffs) > 1e-6
+
+    def test_resume_roundtrips_ema_state(self, tmp_path):
+        import jax
+
+        model, trainer, _ = _train_ema(tmp_path, "emar", 0.9)
+        state = trainer.init_state(0)
+        state = trainer.ckpt.restore("latest", state)
+        assert "ema_params" in state
+        # EMA after 3 steps differs from both init and raw params
+        init = model.init(jax.random.PRNGKey(0))
+        d_init = max(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(
+                jax.tree.leaves(state["ema_params"]),
+                jax.tree.leaves(init),
+            )
+        )
+        d_raw = max(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(
+                jax.tree.leaves(state["ema_params"]),
+                jax.tree.leaves(state["params"]),
+            )
+        )
+        assert d_init > 1e-7 and d_raw > 1e-7
