@@ -27,7 +27,8 @@ sys.path.insert(0, ".")
 
 
 def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
-                         compute_dtype="float32", arch="dblstm"):
+                         compute_dtype="float32", arch="dblstm",
+                         scan_layers=False):
     from nabu_tpu.config import Conf, ConfigFile
     from nabu_tpu.models.model import build_model
     from nabu_tpu.ops.losses import make_loss_computer
@@ -40,6 +41,7 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
                 "encoder": arch, "num_layers": "6",
                 "num_units": "512", "num_heads": "8",
                 "ffn_dim": "2048", "subsample": "4",
+                "scan_layers": str(scan_layers).lower(),
             }, "encoder"),
             "decoder": Conf({
                 "decoder": "linear_ctc", "loss": "ctc",
@@ -79,6 +81,7 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
                 "num_units": "256", "num_heads": "4",
                 "ffn_dim": "1024", "kernel_size": "15",
                 "subsample": "4",
+                "scan_layers": str(scan_layers).lower(),
             }, "encoder"),
             "decoder": Conf({
                 "decoder": "rnnt", "num_layers": "1",
@@ -336,6 +339,11 @@ def main():
     parser.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="bfloat16 compute dtype")
+    parser.add_argument("--scan_layers",
+                        action=argparse.BooleanOptionalAction,
+                        default=False,
+                        help="lax.scan over transformer/conformer blocks "
+                        "(one traced block: ~depth-x smaller HLO/compile)")
     args = parser.parse_args()
 
     import jax
@@ -355,6 +363,7 @@ def main():
     model, loss_fn = build_model_and_loss(
         args.pallas_lstm, args.pallas_ctc,
         "bfloat16" if args.bf16 else "float32", args.model,
+        scan_layers=args.scan_layers,
     )
     params = model.init(jax.random.PRNGKey(0))
 

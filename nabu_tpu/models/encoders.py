@@ -242,7 +242,12 @@ class TransformerEncoder(Encoder):
     ``num_heads`` (4), ``ffn_dim`` (4*num_units), ``dropout``,
     ``subsample`` (1|2|4|8: pyramid-stack factor applied before the
     blocks, reusing the Listener's time reduction), ``remat``
-    (rematerialize each block in the backward pass).
+    (rematerialize each block in the backward pass), ``scan_layers``
+    (run the homogeneous block stack as one ``lax.scan`` over stacked
+    per-layer params: the block body is traced and compiled ONCE
+    instead of ``num_layers`` times, shrinking the HLO and compile time
+    roughly by the depth — numerics identical to the unrolled loop;
+    param/checkpoint layout unchanged, the stack is formed in-graph).
 
     Pre-LN blocks, sinusoidal positions, length-masked softmax.
     """
@@ -263,6 +268,7 @@ class TransformerEncoder(Encoder):
         if self.subsample not in (1, 2, 4, 8):
             raise ValueError("subsample must be 1, 2, 4 or 8")
         self.remat = conf.getbool("remat", False)
+        self.scan_layers = conf.getbool("scan_layers", False)
         self.output_dim = self.d
 
     def init(self, key) -> dict:
@@ -349,13 +355,34 @@ class TransformerEncoder(Encoder):
 
         if self.remat:
             block = jax.checkpoint(block)
-        for i in range(self.num_layers):
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            with jax.named_scope(f"block_{i}"):
-                x = block(params[f"block_{i}"], x, bias, valid, sub)
+        if self.scan_layers:
+            # one traced block, scanned over the stacked per-layer
+            # params (formed in-graph so the stored layout stays
+            # per-layer). bias/valid are loop-invariant closures.
+            blocks = [
+                params[f"block_{i}"] for i in range(self.num_layers)
+            ]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+            keys = (
+                jax.random.split(rng, self.num_layers)
+                if rng is not None
+                else jnp.zeros((self.num_layers, 2), jnp.uint32)
+            )
+            has_rng = rng is not None
+
+            def body(x, inp):
+                p, sub = inp
+                return block(p, x, bias, valid, sub if has_rng else None), None
+
+            x, _ = jax.lax.scan(body, x, (stacked, keys))
+        else:
+            for i in range(self.num_layers):
+                if rng is not None:
+                    rng, sub = jax.random.split(rng)
+                else:
+                    sub = None
+                with jax.named_scope(f"block_{i}"):
+                    x = block(params[f"block_{i}"], x, bias, valid, sub)
         x = core.layer_norm(x, params["ln_out_g"], params["ln_out_b"])
         # zero padded frames (same contract as the recurrent encoders)
         return x * valid[:, :, None].astype(x.dtype), lengths

@@ -91,7 +91,10 @@ def param_partition_specs(
             return P()
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name in ("wx", "wh", "w", "wqkv"):
-            return P(None, MODEL_AXIS)
+            # shard the LAST axis (the out/gate/fused-QKV dim) so the
+            # same rule covers plain [in, out] kernels and layer-stacked
+            # [L, in, out] leaves (scan_layers encoders)
+            return P(*([None] * (leaf.ndim - 1) + [MODEL_AXIS]))
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -542,6 +542,101 @@ class TestConformerEncoder:
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestScanLayers:
+    """scan_layers = true runs the block stack as one lax.scan over
+    stacked per-layer params (one traced block instead of num_layers
+    copies in the HLO). Values and grads must match the unrolled loop;
+    the stored param layout is unchanged."""
+
+    def _pair(self, encoder, **over):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.encoders import build_encoder
+
+        conf = {"encoder": encoder, "num_layers": "3",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32"}
+        if encoder == "conformer":
+            conf["kernel_size"] = "5"
+        conf.update({k: str(v) for k, v in over.items()})
+        loop = build_encoder(Conf(conf, "encoder"), input_dim=6)
+        conf["scan_layers"] = "true"
+        scan = build_encoder(Conf(conf, "encoder"), input_dim=6)
+        return loop, scan
+
+    @pytest.mark.parametrize("encoder", ["transformer", "conformer"])
+    def test_matches_unrolled(self, encoder):
+        loop, scan = self._pair(encoder)
+        params = loop.init(jax.random.PRNGKey(0))
+        # same param layout: the scan stack is formed in-graph
+        assert set(params) == set(scan.init(jax.random.PRNGKey(0)))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 11, 6)), jnp.float32)
+        lengths = jnp.array([11, 7], jnp.int32)
+        out_l, len_l = loop.apply(params, x, lengths)
+        out_s, len_s = scan.apply(params, x, lengths)
+        np.testing.assert_array_equal(np.asarray(len_l), np.asarray(len_s))
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_l), rtol=1e-6, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("encoder", ["transformer", "conformer"])
+    def test_grads_match_unrolled(self, encoder):
+        loop, scan = self._pair(encoder)
+        params = loop.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 9, 6)), jnp.float32)
+        lengths = jnp.array([9, 5], jnp.int32)
+
+        def loss(enc):
+            def f(p):
+                out, _ = enc.apply(p, x, lengths)
+                return jnp.sum(out ** 2)
+            return f
+
+        g_l = jax.jit(jax.grad(loss(loop)))(params)
+        g_s = jax.jit(jax.grad(loss(scan)))(params)
+        for a, b in zip(jax.tree.leaves(g_l), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-5, atol=5e-6
+            )
+
+    def test_with_remat_and_dropout_runs(self):
+        _, scan = self._pair("conformer", remat=True, dropout=0.1)
+        params = scan.init(jax.random.PRNGKey(2))
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 10, 6)),
+            jnp.float32,
+        )
+        lengths = jnp.array([10, 6], jnp.int32)
+
+        @jax.jit
+        def loss(p, key):
+            out, _ = scan.apply(p, x, lengths, train=True, rng=key)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params, jax.random.PRNGKey(3))
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_stacked_leaf_partition_specs_shard_last_axis(self):
+        """The GSPMD rule shards the out axis whether a kernel leaf is
+        [in, out] or layer-stacked [L, in, out]."""
+        from jax.sharding import PartitionSpec as P
+
+        from nabu_tpu.parallel import mesh as mesh_lib
+
+        params = {
+            "block": {"wqkv": jnp.zeros((16, 48))},
+            "stacked": {"wqkv": jnp.zeros((3, 16, 48))},
+        }
+        specs = mesh_lib.param_partition_specs(
+            params, model_parallel_size=2, min_shard_size=1
+        )
+        assert specs["block"]["wqkv"] == P(None, mesh_lib.MODEL_AXIS)
+        assert specs["stacked"]["wqkv"] == P(
+            None, None, mesh_lib.MODEL_AXIS
+        )
+
+
 def test_transformer_joint_ctc_attention_composes():
     """The new encoder families compose with the multi-head container
     (joint CTC/attention over a transformer encoder)."""
