@@ -64,12 +64,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sweep", required=True, help="sweep file")
 
     sp = sub.add_parser(
-        "lm", help="train an n-gram LM from the training transcriptions"
+        "lm", help="train an LM (n-gram or neural) from the training "
+        "transcriptions"
     )
     common(sp)
     sp.add_argument("--order", type=int, default=3)
     sp.add_argument("--targets", default="traintargets",
                     help="database.conf targets section to train on")
+    sp.add_argument("--type", dest="lm_type", default="ngram",
+                    choices=["ngram", "rnn"],
+                    help="ngram (Witten-Bell) or rnn (neural LSTM LM)")
+    sp.add_argument("--lm_units", type=int, default=256)
+    sp.add_argument("--lm_layers", type=int, default=1)
+    sp.add_argument("--lm_embed", type=int, default=64)
+    sp.add_argument("--lm_steps", type=int, default=500)
+    sp.add_argument("--lm_batch", type=int, default=64)
+    sp.add_argument("--lm_lr", type=float, default=1e-3)
 
     sp = sub.add_parser(
         "bpe", help="train a subword (BPE) vocabulary from transcriptions"
@@ -227,7 +237,13 @@ def main(argv=None) -> int:
     elif args.command == "lm":
         from nabu_tpu.scripts import lm
 
-        lm.main(args.recipe, args.expdir, args.order, args.targets)
+        lm.main(
+            args.recipe, args.expdir, args.order, args.targets,
+            lm_type=args.lm_type, num_units=args.lm_units,
+            num_layers=args.lm_layers, embed_dim=args.lm_embed,
+            num_steps=args.lm_steps, batch_size=args.lm_batch,
+            learning_rate=args.lm_lr,
+        )
     elif args.command == "bpe":
         from nabu_tpu.scripts import bpe
 

@@ -159,9 +159,12 @@ def attention_beam_search(
             "t": t + 1,
         }
         if fuse:
-            # context advances only while the hypothesis is live
+            # context advances only while the hypothesis is live (the
+            # state may be a pytree — neural LM — hence state_where)
+            from nabu_tpu.decoding.lm import state_where
+
             lm_state = _gather_beams(s["lm_state"], parent)
-            new["lm_state"] = jnp.where(
+            new["lm_state"] = state_where(
                 finished, lm_state, lm.step(lm_state, token)
             )
         return new

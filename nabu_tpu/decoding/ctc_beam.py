@@ -152,18 +152,6 @@ def ctc_prefix_beam_search(
             axis=-1,
         )
 
-        if fuse:
-            cand_lm = jnp.concatenate(
-                [
-                    lm.step(
-                        state["lm"][..., None],
-                        nonblank_ids[None, None, :],
-                    ),
-                    state["lm"][..., None],  # stay keeps its context
-                ],
-                axis=-1,
-            )  # [B, W, V]
-
         C = W * V
         flat = lambda x: x.reshape(B, C)
         cand_h, cand_h2 = flat(cand_h), flat(cand_h2)
@@ -176,8 +164,6 @@ def ctc_prefix_beam_search(
         cand_h, cand_h2 = take(cand_h), take(cand_h2)
         cand_pb, cand_pnb = take(cand_pb), take(cand_pnb)
         cand_parent, cand_tok = take(cand_parent), take(cand_tok)
-        if fuse:
-            cand_lm = take(flat(cand_lm))
 
         prev_h = jnp.pad(
             cand_h[..., :-1], ((0, 0), (1, 0)), constant_values=-(2**31) + 1
@@ -236,9 +222,26 @@ def ctc_prefix_beam_search(
             "last": new_last,
         }
         if fuse:
-            # merged candidates share a prefix, hence an LM context, so
-            # the segment head's value is the merged value
-            new_state["lm"] = g(cand_lm)
+            # the LM state is a deterministic function of the prefix,
+            # so stepping AFTER selection from the chosen (parent, tok)
+            # is exact — merged equal prefixes would have produced the
+            # identical state — and never materializes [B, W, V]
+            # candidate states (required for pytree neural-LM states)
+            from nabu_tpu.decoding.lm import state_where
+
+            parent_lm = jax.tree.map(
+                lambda x: jnp.take_along_axis(
+                    x,
+                    parent.reshape(parent.shape + (1,) * (x.ndim - 2)),
+                    axis=1,
+                ),
+                state["lm"],
+            )
+            new_state["lm"] = state_where(
+                is_ext,
+                lm.step(parent_lm, jnp.maximum(tok, 0)),
+                parent_lm,
+            )
         # frames past logit_length leave the state untouched
         keep = lambda new, old: jnp.where(
             valid.reshape((B,) + (1,) * (new.ndim - 1)), new, old

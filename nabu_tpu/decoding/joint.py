@@ -308,8 +308,10 @@ def joint_ctc_att_beam_search(
             "t": t + 1,
         }
         if fuse:
+            from nabu_tpu.decoding.lm import state_where
+
             lm_state = _gather_beams(s["lm_state"], parent)
-            new["lm_state"] = jnp.where(
+            new["lm_state"] = state_where(
                 finished, lm_state, lm.step(lm_state, token)
             )
         return new

@@ -165,8 +165,38 @@ class DenseLM:
         return self.table[state]
 
 
-def load_dense_lm(path: str) -> DenseLM:
-    return NgramLM.load(path).dense()
+def state_where(cond, a, b):
+    """Per-leaf ``where`` over an LM state pytree: select ``a`` where
+    ``cond`` (shaped like the beam, e.g. [B, W]) else ``b``; the
+    condition broadcasts over each leaf's trailing state dims. The one
+    primitive that lets scalar n-gram contexts and pytree neural-LM
+    states ride the same beam-search code."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x, y: jnp.where(
+            cond.reshape(cond.shape + (1,) * (x.ndim - cond.ndim)), x, y
+        ),
+        a,
+        b,
+    )
+
+
+def load_lm(path: str):
+    """Host-side LM handle by file contents: NgramLM or neural RnnLM
+    (both expose ``logprob``/``dense``)."""
+    with np.load(path) as z:
+        kind = str(z["kind"]) if "kind" in z.files else "ngram"
+    if kind == "rnn":
+        from nabu_tpu.decoding.neural_lm import RnnLM
+
+        return RnnLM.load(path)
+    return NgramLM.load(path)
+
+
+def load_dense_lm(path: str):
+    return load_lm(path).dense()
 
 
 def rescore_nbest(
@@ -176,14 +206,20 @@ def rescore_nbest(
     length_bonus: float = 0.0,
 ) -> List[Tuple[str, float, List[int]]]:
     """Re-rank (utt, am_score, ids) entries by
-    ``am + lm_weight * lm + length_bonus * len``; stable within utt."""
+    ``am + lm_weight * lm + length_bonus * len``; stable within utt.
+    ``lm`` is an NgramLM or neural RnnLM; batched scoring is used when
+    the LM provides it (one device call for the whole n-best list)."""
+    if hasattr(lm, "seq_logprobs") and entries:
+        lm_scores = lm.seq_logprobs([ids for _, _, ids in entries])
+    else:
+        lm_scores = [lm.logprob(ids) for _, _, ids in entries]
     rescored = [
         (
             utt,
-            am + lm_weight * lm.logprob(ids) + length_bonus * len(ids),
+            am + lm_weight * float(lp) + length_bonus * len(ids),
             ids,
         )
-        for utt, am, ids in entries
+        for (utt, am, ids), lp in zip(entries, lm_scores)
     ]
     by_utt: dict = defaultdict(list)
     for e in rescored:

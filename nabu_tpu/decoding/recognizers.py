@@ -44,7 +44,8 @@ class Nbest:
 class Recognizer:
     """Base recognizer built from a recognizer.cfg section.
 
-    Beam recognizers accept ``lm_path`` (an NgramLM .npz trained with
+    Beam recognizers accept ``lm_path`` (an NgramLM or neural RnnLM
+    .npz — dispatched by file contents — trained with
     ``run lm``) + ``lm_weight`` for shallow fusion; configuring them on
     a recognizer without fusion support is an error, not a silent
     no-op.

@@ -247,8 +247,10 @@ def transducer_beam_search(
                 lens=lens,
             )
             if fuse:
+                from nabu_tpu.decoding.lm import state_where
+
                 lm_state = _gather_beams(carry["lm_state"], parent)
-                carry_new["lm_state"] = jnp.where(
+                carry_new["lm_state"] = state_where(
                     is_emit, lm.step(lm_state, jnp.clip(tok, 0)), lm_state
                 )
             carry = carry_new

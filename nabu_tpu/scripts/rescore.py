@@ -13,7 +13,7 @@ import os
 
 from nabu_tpu.config import Recipe
 from nabu_tpu.data.processors import TextProcessor
-from nabu_tpu.decoding.lm import NgramLM, rescore_nbest
+from nabu_tpu.decoding.lm import load_lm, rescore_nbest
 from nabu_tpu.scripts.common import ids_to_text
 
 
@@ -58,10 +58,16 @@ def main(
     tokenizer = tconf.get("tokenizer", "word")
 
     if lm_path is None:
-        lm_path = rconf.get("lm_path") or os.path.join(
-            expdir, "lm", "lm_3gram.npz"
-        )
-    lm = NgramLM.load(lm_path)
+        lm_path = rconf.get("lm_path")
+    if lm_path is None:
+        for name in ("lm_3gram.npz", "lm_rnn.npz"):
+            cand = os.path.join(expdir, "lm", name)
+            if os.path.exists(cand):
+                lm_path = cand
+                break
+        else:
+            lm_path = os.path.join(expdir, "lm", "lm_3gram.npz")
+    lm = load_lm(lm_path)  # n-gram or neural, by file contents
     if lm.vocab != proc.num_labels + 1:
         raise ValueError(
             f"LM vocab {lm.vocab} != recipe alphabet "
