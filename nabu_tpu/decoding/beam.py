@@ -86,7 +86,7 @@ def attention_beam_search(
         "prev": jnp.full((B, W), decoder.sos_id, jnp.int32),
         "state": jax.tree.map(
             lambda x: x.reshape((B, W) + x.shape[1:]),
-            decoder.init_state(B * W, encoded.dtype),
+            decoder.init_state(B * W, encoded.dtype, enc_frames=T),
         ),
         "t": jnp.int32(0),
     }

@@ -168,7 +168,7 @@ def joint_ctc_att_beam_search(
         "prev": jnp.full((B, W), decoder.sos_id, jnp.int32),
         "att": jax.tree.map(
             lambda x: x.reshape((B, W) + x.shape[1:]),
-            decoder.init_state(B * W, encoded.dtype),
+            decoder.init_state(B * W, encoded.dtype, enc_frames=T),
         ),
         "ctc": _init_ctc_state(ctc_logprobs, enc_mask, blank_id, W),
         "t": jnp.int32(0),

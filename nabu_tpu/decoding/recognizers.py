@@ -173,7 +173,7 @@ class AttentionGreedyRecognizer(Recognizer):
 
         init = (
             jnp.full((B,), dec.sos_id, jnp.int32),
-            dec.init_state(B, encoded.dtype),
+            dec.init_state(B, encoded.dtype, enc_frames=T),
             jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.float32),
         )

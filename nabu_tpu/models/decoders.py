@@ -94,6 +94,16 @@ class Speller(Decoder):
     uses teacher forcing with scheduled sampling (probability
     ``sample_prob`` of feeding the model's own argmax instead of the
     ground truth).
+
+    ``attention`` selects the scorer: ``bahdanau`` (additive, default),
+    ``dot`` (scaled dot product), or ``location`` (location-aware,
+    Chorowski et al. 2015: the additive score also sees the PREVIOUS
+    step's attention weights through a 1-D conv — ``location_filters``
+    channels of width ``location_width`` — which biases the search
+    toward monotonic moves and prevents the attend-twice/skip failure
+    modes on long utterances). Location attention carries the previous
+    weights in the decode state (``attn_prev`` [B, T]), so
+    ``init_state`` needs ``enc_frames``.
     """
 
     def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
@@ -103,6 +113,13 @@ class Speller(Decoder):
         self.embed_dim = conf.getint("embed_dim", self.num_units)
         self.attn_dim = conf.getint("attention_units", self.num_units)
         self.attention = conf.get("attention", "bahdanau")
+        if self.attention not in ("bahdanau", "dot", "location"):
+            raise ValueError(
+                f"unknown attention {self.attention!r} "
+                "(bahdanau|dot|location)"
+            )
+        self.loc_filters = conf.getint("location_filters", 10)
+        self.loc_width = conf.getint("location_width", 11)
         self.sample_prob = conf.getfloat("sample_prob", 0.0)
         self.dropout = conf.getfloat("dropout", 0.0)
         self.sos_id = self.num_labels
@@ -110,7 +127,7 @@ class Speller(Decoder):
 
     # -- params ----------------------------------------------------------
     def init(self, key) -> dict:
-        keys = jax.random.split(key, self.num_layers + 5)
+        keys = jax.random.split(key, self.num_layers + 7)
         params: Dict[str, dict] = {
             "embed": core.embedding_init(
                 keys[0], self.output_dim, self.embed_dim
@@ -131,14 +148,25 @@ class Speller(Decoder):
         params["attn_v"] = {
             "v": core.glorot(keys[-2], (self.attn_dim, 1))
         }
+        if self.attention == "location":
+            params["attn_loc"] = {
+                "conv": core.glorot(
+                    keys[-6], (self.loc_width, 1, self.loc_filters)
+                ),
+                "proj": core.linear_init(
+                    keys[-5], self.loc_filters, self.attn_dim
+                ),
+            }
         params["out"] = core.linear_init(
             keys[-1], self.num_units + self.encoder_dim, self.output_dim
         )
         return params
 
     # -- state -----------------------------------------------------------
-    def init_state(self, batch: int, dtype=jnp.float32) -> dict:
-        return {
+    def init_state(
+        self, batch: int, dtype=jnp.float32, enc_frames: int = None
+    ) -> dict:
+        state = {
             "lstm": [
                 (
                     jnp.zeros((batch, self.num_units), dtype),
@@ -148,19 +176,42 @@ class Speller(Decoder):
             ],
             "context": jnp.zeros((batch, self.encoder_dim), dtype),
         }
+        if self.attention == "location":
+            if enc_frames is None:
+                raise ValueError(
+                    "location attention carries the previous attention "
+                    "weights in the decode state: pass "
+                    "init_state(..., enc_frames=T)"
+                )
+            state["attn_prev"] = jnp.zeros((batch, enc_frames), dtype)
+        return state
 
     # -- attention -------------------------------------------------------
-    def _attend(self, params, h_top, keys, encoded, enc_mask):
+    def _attend(self, params, h_top, keys, encoded, enc_mask,
+                prev_weights=None):
         """keys = precomputed W_enc @ encoded [B, T, A]."""
         if self.attention == "dot":
             q = core.linear_apply(params["attn_state"], h_top)  # [B, A]
             scores = jnp.einsum("bta,ba->bt", keys, q) / jnp.sqrt(
                 jnp.asarray(self.attn_dim, h_top.dtype)
             )
-        else:  # bahdanau
+        else:  # bahdanau / location
             q = core.linear_apply(params["attn_state"], h_top)  # [B, A]
-            e = jnp.tanh(keys + q[:, None, :])  # [B, T, A]
-            scores = jnp.squeeze(e @ params["attn_v"]["v"], -1)  # [B, T]
+            e = keys + q[:, None, :]  # [B, T, A]
+            if self.attention == "location":
+                # 1-D conv over the previous step's attention weights:
+                # [B, T, 1] -> [B, T, F] (SAME padding keeps T)
+                f = jax.lax.conv_general_dilated(
+                    prev_weights[..., None].astype(e.dtype),
+                    params["attn_loc"]["conv"].astype(e.dtype),
+                    window_strides=(1,),
+                    padding="SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                e = e + core.linear_apply(params["attn_loc"]["proj"], f)
+            scores = jnp.squeeze(
+                jnp.tanh(e) @ params["attn_v"]["v"], -1
+            )  # [B, T]
         weights = jax.nn.softmax(mask_logits(scores, enc_mask), axis=-1)
         context = jnp.einsum("bt,btd->bd", weights, encoded)
         return context, weights
@@ -192,12 +243,18 @@ class Speller(Decoder):
             h, c = core.lstm_cell(xw, h, c, p["wh"])
             new_lstm.append((h, c))
             x = h
-        context, weights = self._attend(params, x, keys, encoded, enc_mask)
+        context, weights = self._attend(
+            params, x, keys, encoded, enc_mask,
+            prev_weights=state.get("attn_prev"),
+        )
         logits = core.linear_apply(
             params["out"], jnp.concatenate([x, context], axis=-1)
         )
-        return logits, {"lstm": new_lstm, "context": context,
-                        "attn_weights": weights}
+        new_state = {"lstm": new_lstm, "context": context,
+                     "attn_weights": weights}
+        if self.attention == "location":
+            new_state["attn_prev"] = weights
+        return logits, new_state
 
     # -- teacher-forced training pass ------------------------------------
     def apply(
@@ -221,7 +278,7 @@ class Speller(Decoder):
         keys = core.linear_apply(params["attn_enc"], encoded)
         sos = jnp.full((B, 1), self.sos_id, targets.dtype)
         inputs = jnp.concatenate([sos, targets], axis=1)  # [B, L+1]
-        state0 = self.init_state(B, encoded.dtype)
+        state0 = self.init_state(B, encoded.dtype, enc_frames=T)
         state0.pop("attn_weights", None)
         sample_prob = self.sample_prob if train else 0.0
         if rng is None:

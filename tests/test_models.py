@@ -196,6 +196,140 @@ class TestSpeller:
         )
 
 
+class TestLocationAttention:
+    """Location-aware (Chorowski) attention: the additive score also
+    sees the previous step's attention weights through a 1-D conv."""
+
+    def _speller(self):
+        conf = Conf({
+            "decoder": "speller", "num_layers": "1", "num_units": "12",
+            "embed_dim": "6", "attention_units": "10",
+            "attention": "location", "location_filters": "4",
+            "location_width": "3",
+        })
+        dec = build_decoder(conf, encoder_dim=14, num_labels=5)
+        return dec, dec.init(jax.random.PRNGKey(2))
+
+    def test_apply_matches_step_loop(self):
+        from nabu_tpu.ops.masking import sequence_mask
+
+        dec, params = self._speller()
+        rng = np.random.default_rng(3)
+        encoded = jnp.asarray(
+            rng.standard_normal((2, 7, 14)).astype(np.float32)
+        )
+        enc_len = jnp.array([7, 4])
+        targets = jnp.array([[1, 2, 3, 0], [4, 0, 0, 0]], jnp.int32)
+        logits, _ = dec.apply(
+            params, encoded, enc_len, targets, jnp.array([4, 1])
+        )
+        enc_mask = sequence_mask(enc_len, 7)
+        state = dec.init_state(2, enc_frames=7)
+        prev = jnp.full((2,), dec.sos_id, jnp.int32)
+        outs = []
+        for t in range(5):
+            step_logits, state = dec.step(
+                params, prev, state, encoded, enc_mask
+            )
+            state.pop("attn_weights", None)
+            outs.append(step_logits)
+            prev = targets[:, t] if t < 4 else prev
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(jnp.stack(outs, axis=1)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_prev_weights_change_scores(self):
+        """The location term must actually condition on the previous
+        attention distribution (bahdanau would be invariant)."""
+        from nabu_tpu.ops.masking import sequence_mask
+
+        dec, params = self._speller()
+        rng = np.random.default_rng(4)
+        encoded = jnp.asarray(
+            rng.standard_normal((1, 6, 14)).astype(np.float32)
+        )
+        enc_mask = sequence_mask(jnp.array([6]), 6)
+        state = dec.init_state(1, enc_frames=6)
+        prev = jnp.full((1,), dec.sos_id, jnp.int32)
+        l1, _ = dec.step(params, prev, state, encoded, enc_mask)
+        state2 = dict(state)
+        state2["attn_prev"] = jnp.asarray([[0.0, 0.0, 1.0, 0.0, 0.0, 0.0]])
+        l2, _ = dec.step(params, prev, state2, encoded, enc_mask)
+        assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+    def test_attention_masked(self):
+        dec, params = self._speller()
+        rng = np.random.default_rng(5)
+        encoded = jnp.asarray(
+            rng.standard_normal((2, 7, 14)).astype(np.float32)
+        )
+        enc_len = jnp.array([7, 4])
+        targets = jnp.array([[1, 2], [3, 4]], jnp.int32)
+        tgt_len = jnp.array([2, 2])
+        l1, _ = dec.apply(
+            params, encoded, enc_len, targets, tgt_len
+        )
+        l2, _ = dec.apply(
+            params, encoded.at[1, 4:].set(99.0), enc_len, targets, tgt_len
+        )
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5
+        )
+
+    def test_beam_search_is_exact(self):
+        """Wide beam over a location-attention speller == brute-force
+        enumeration (the attn_prev state must ride the beam correctly
+        through gather/reshape)."""
+        from itertools import product
+
+        from nabu_tpu.decoding.beam import attention_beam_search
+        from nabu_tpu.ops.masking import sequence_mask
+
+        conf = Conf({
+            "decoder": "speller", "num_layers": "1", "num_units": "8",
+            "embed_dim": "4", "attention": "location",
+            "location_filters": "3", "location_width": "3",
+        })
+        dec = build_decoder(conf, encoder_dim=6, num_labels=2)
+        params = dec.init(jax.random.PRNGKey(7))
+        rng = np.random.default_rng(8)
+        encoded = jnp.asarray(
+            rng.standard_normal((1, 4, 6)).astype(np.float32)
+        )
+        enc_len = jnp.asarray([4], np.int32)
+        max_steps = 3
+
+        def am_score(tokens):
+            enc_mask = sequence_mask(enc_len, 4)
+            state = dec.init_state(1, enc_frames=4)
+            prev = jnp.asarray([dec.sos_id], jnp.int32)
+            total = 0.0
+            for tok in list(tokens) + [dec.eos_id]:
+                logits, state = dec.step(
+                    params, prev, state, encoded, enc_mask
+                )
+                state.pop("attn_weights", None)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                total += float(lp[0, tok])
+                prev = jnp.asarray([tok], jnp.int32)
+            return total
+
+        best_score, best_seq = -np.inf, None
+        for n in range(0, max_steps):
+            for seq in product([0, 1], repeat=n):
+                s = am_score(seq)  # raw: length_norm_power defaults 0
+                if s > best_score:
+                    best_score, best_seq = s, list(seq)
+
+        seqs, lengths, scores = attention_beam_search(
+            dec, params, encoded, enc_len, beam_width=16,
+            max_steps=max_steps,
+        )
+        got = list(np.asarray(seqs)[0, 0, : int(lengths[0, 0])])
+        assert got == best_seq, (got, best_seq)
+
+
 class TestModelContainer:
     def test_joint_model(self):
         from nabu_tpu.config import Conf, ConfigFile
