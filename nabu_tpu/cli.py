@@ -99,6 +99,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--length_bonus", type=float, default=0.0)
 
     sp = sub.add_parser(
+        "align", help="CTC forced alignment of a dataset (CTM output)"
+    )
+    common(sp)
+    sp.add_argument("--features", default=None,
+                    help="database.conf features section "
+                    "(default: recognizer.cfg's)")
+    sp.add_argument("--targets", default=None,
+                    help="database.conf targets section "
+                    "(default: recognizer.cfg's)")
+    sp.add_argument("--head", default=None,
+                    help="CTC head name (default: first head with a "
+                    "blank_id)")
+
+    sp = sub.add_parser(
         "recognize", help="decode audio files directly (no data prep)"
     )
     common(sp)
@@ -257,6 +271,13 @@ def main(argv=None) -> int:
         rescore.main(
             args.recipe, args.expdir, args.lm, args.lm_weight,
             args.length_bonus,
+        )
+    elif args.command == "align":
+        from nabu_tpu.scripts import align
+
+        align.main(
+            args.recipe, args.expdir, args.features, args.targets,
+            args.head,
         )
     elif args.command == "recognize":
         from nabu_tpu.scripts import recognize
