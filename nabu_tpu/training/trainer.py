@@ -142,7 +142,16 @@ class Trainer:
         self.ema_decay = conf.getfloat("ema_decay", 0.0)
 
         self.tx = build_optimizer(conf)
-        self.loss_fn = loss_fn or make_loss_computer(model)
+        if loss_fn is None:
+            if conf.getbool("mwer", False):
+                # MWER sequence training (beyond parity): N-best decode
+                # + expected-token-error loss — see ops/mwer.py
+                from nabu_tpu.ops.mwer import make_mwer_loss_computer
+
+                loss_fn = make_mwer_loss_computer(model, conf)
+            else:
+                loss_fn = make_loss_computer(model)
+        self.loss_fn = loss_fn
         # multi-host: only the chief writes metrics/checkpoints (the
         # reference's is_chief=task_index==0 MonitoredTrainingSession
         # contract); every host still computes validation so early-stop

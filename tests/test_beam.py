@@ -162,7 +162,7 @@ class ToyDecoder:
         self.sos_id = table.shape[0] - 1
         self.eos_id = table.shape[0] - 1
 
-    def init_state(self, batch, dtype=jnp.float32):
+    def init_state(self, batch, dtype=jnp.float32, enc_frames=None):
         return {"dummy": jnp.zeros((batch, 1), dtype)}
 
     def step(self, params, prev_ids, state, encoded, enc_mask, keys=None):
