@@ -34,10 +34,15 @@ from nabu_tpu.models import core
 
 
 def _pack(sequences: Sequence[Sequence[int]], vocab: int):
-    """[<s>]+seq inputs, seq+[</s>] targets, padded to a static width."""
+    """[<s>]+seq inputs, seq+[</s>] targets, padded to a static width.
+
+    The width rounds up to a multiple of 16 so repeated host-side
+    scoring calls (rescoring loops, tests) reuse one compiled program
+    per 16-wide length bucket instead of compiling per exact length."""
     b = vocab - 1
     N = len(sequences)
     L = max((len(s) for s in sequences), default=0) + 1
+    L = ((L + 15) // 16) * 16
     inp = np.zeros((N, L), np.int32)
     tgt = np.zeros((N, L), np.int32)
     lengths = np.zeros((N,), np.int32)

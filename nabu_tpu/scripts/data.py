@@ -29,9 +29,25 @@ def _init_worker(conf_values):
     _WORKER_PROC = make_processor(Conf(conf_values))
 
 
-def _process_one(entry: Tuple[str, str]):
-    utt, value = entry
-    return utt, _WORKER_PROC.process(value)
+def _process_one(entry: Tuple[str, str, float]):
+    utt, value, speed = entry
+    return utt, _WORKER_PROC.process(value, speed=speed)
+
+
+def _expand_speed(entries, section):
+    """3-way speed perturbation (``speed_perturb = 0.9 1.0 1.1``):
+    replicate every entry per factor, suffixing ids with ``#sp<f>``
+    (factor 1.0 keeps the plain id). Feature AND target sections of a
+    split must carry the same factors so ids stay paired."""
+    factors = [
+        float(f) for f in section.getlist("speed_perturb", ["1.0"])
+    ]
+    out = []
+    for utt, value in entries:
+        for f in factors:
+            uid = utt if f == 1.0 else f"{utt}#sp{f:g}"
+            out.append((uid, value, f))
+    return out
 
 
 def prepare_section(
@@ -39,7 +55,7 @@ def prepare_section(
 ) -> dict:
     section = recipe.database.section(name)
     out_dir = data_dir(expdir, section, name)
-    entries = read_datafile(section["datafile"])
+    entries = _expand_speed(read_datafile(section["datafile"]), section)
     processor = make_processor(section)
     writer = ShardWriter(out_dir)
     if num_workers > 1:
@@ -54,8 +70,10 @@ def prepare_section(
         # etc.) comes from a fresh processor instance's static config
         meta = writer.close(processor.metadata())
     else:
-        for utt, value in entries:
-            writer.write(utt, np.asarray(processor.process(value)))
+        for utt, value, speed in entries:
+            writer.write(
+                utt, np.asarray(processor.process(value, speed=speed))
+            )
         meta = writer.close(processor.metadata())
     return meta
 

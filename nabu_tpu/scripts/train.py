@@ -55,8 +55,16 @@ def main(
     # persistent XLA compilation cache: with one jitted step per bucket
     # shape and 20-40 s TPU compiles, a resume/restart otherwise pays
     # the whole compile bill again (compilation_cache = false disables;
-    # compilation_cache_dir overrides the location)
-    if trainer_conf.getbool("compilation_cache", True):
+    # compilation_cache_dir overrides the location). Default ON for
+    # accelerator backends only: XLA:CPU executable DEserialization has
+    # been observed to segfault on cache hits, so CPU runs must opt in
+    # explicitly with compilation_cache = true.
+    cache_conf = trainer_conf.get("compilation_cache")
+    if (
+        trainer_conf.getbool("compilation_cache", True)
+        if cache_conf is not None
+        else jax.default_backend() != "cpu"
+    ):
         cache_dir = trainer_conf.get(
             "compilation_cache_dir",
             os.path.join(expdir, "jax_cache"),

@@ -23,5 +23,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# scripts/train.py enables the persistent XLA compilation cache under
+# each expdir (a production feature). Inside the test process that
+# config sticks for every LATER test, and XLA:CPU executable
+# deserialization can SEGFAULT on a cache hit (observed killing full
+# suite runs at random points). Master-switch it off for tests.
+jax.config.update("jax_enable_compilation_cache", False)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
