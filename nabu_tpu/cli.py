@@ -119,6 +119,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("audio", nargs="+",
                     help="wav/sph paths, or one Kaldi-style .scp file")
     sp.add_argument("--batch_size", type=int, default=8)
+
+    sp = sub.add_parser(
+        "export",
+        help="freeze the best model + configs into a portable "
+        "serving artifact",
+    )
+    common(sp)
+    sp.add_argument("--output", default=None,
+                    help="artifact directory (default: <expdir>/export)")
+
+    sp = sub.add_parser(
+        "serve",
+        help="long-running recognizer worker over an export artifact "
+        "(stdin: 'utt_id wav_path' lines; stdout: 'utt_id hypothesis')",
+    )
+    sp.add_argument("--export_dir", required=True,
+                    help="artifact from `run export`")
+    sp.add_argument("--batch_size", type=int, default=8)
     return p
 
 
@@ -285,6 +303,15 @@ def main(argv=None) -> int:
         recognize.main(
             args.recipe, args.expdir, args.audio, args.batch_size
         )
+    elif args.command == "export":
+        from nabu_tpu.serving import export_model
+
+        out = export_model(args.recipe, args.expdir, args.output)
+        print(f"[export] wrote serving artifact to {out}")
+    elif args.command == "serve":
+        from nabu_tpu.serving import serve
+
+        serve(args.export_dir, batch_size=args.batch_size)
     return 0
 
 
