@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--export_dir", required=True,
                     help="artifact from `run export`")
     sp.add_argument("--batch_size", type=int, default=8)
+    sp.add_argument("--streaming", action="store_true",
+                    help="chunked incremental decoding (streaming-"
+                    "transducer exports): PARTIAL lines per chunk, "
+                    "then a FINAL line per utterance")
     return p
 
 
@@ -311,7 +315,11 @@ def main(argv=None) -> int:
     elif args.command == "serve":
         from nabu_tpu.serving import serve
 
-        serve(args.export_dir, batch_size=args.batch_size)
+        serve(
+            args.export_dir,
+            batch_size=args.batch_size,
+            streaming=args.streaming,
+        )
     return 0
 
 

@@ -218,8 +218,10 @@ class ExportedModel:
         )
         with np.load(os.path.join(self.dir, "params.npz")) as z:
             self.params = _unflatten_params({k: z[k] for k in z.files})
+        self.rconf = rconf
         self.recognizer = build_recognizer(rconf, self.model)
         self.batch_size = batch_size
+        self._streamer = None
 
     # -- inference --------------------------------------------------------
     def recognize_features(
@@ -252,6 +254,49 @@ class ExportedModel:
     def recognize(self, path: str) -> str:
         return self.recognize_files([path])[0]
 
+    # -- streaming inference ------------------------------------------------
+    @property
+    def streamer(self):
+        """Lazy chunked-transducer session (streaming-capable models:
+        forward-only encoder + transducer head, the
+        `transducer_streaming` recipes)."""
+        if self._streamer is None:
+            from nabu_tpu.decoding.streaming import StreamingTransducer
+
+            self._streamer = StreamingTransducer(
+                self.model,
+                head=self.rconf.get("head"),
+                chunk_frames=self.rconf.getint("chunk_frames", 32),
+                max_symbols=self.rconf.getint("max_symbols", 4),
+            )
+        return self._streamer
+
+    def stream_file(self, path: str, on_partial=None) -> str:
+        """Decode one file chunk by chunk. After every chunk that
+        emits new tokens, ``on_partial(text_so_far)`` is called with
+        the full running hypothesis. Returns the final text —
+        identical to the offline greedy decode (no lookahead)."""
+        feats = self.audio_proc.process(path)
+        streamer = self.streamer
+        C = streamer.chunk_frames
+        T = feats.shape[0]
+        Tpad = max(((T + C - 1) // C) * C, C)
+        padded = np.zeros((1, Tpad, feats.shape[1]), np.float32)
+        padded[0, :T] = feats
+        state = streamer.start(self.params, batch=1)
+        toks: List[int] = []
+        for c0 in range(0, Tpad, C):
+            valid = np.clip(T - c0, 0, C)
+            new, state = streamer.feed(
+                self.params, state, padded[:, c0:c0 + C],
+                np.asarray([valid], np.int32),
+            )
+            if new[0]:
+                toks.extend(new[0])
+                if on_partial is not None:
+                    on_partial(self.text_proc.ids_to_text(toks))
+        return self.text_proc.ids_to_text(toks)
+
 
 def load_exported(export_dir: str, batch_size: int = 8) -> ExportedModel:
     return ExportedModel(export_dir, batch_size=batch_size)
@@ -262,9 +307,17 @@ def serve(
     in_stream: Optional[IO[str]] = None,
     out_stream: Optional[IO[str]] = None,
     batch_size: int = 8,
+    streaming: bool = False,
 ) -> int:
     """Line-protocol worker: ``utt_id path`` per input line ->
     ``utt_id hypothesis`` per output line, flushed per batch.
+
+    With ``streaming=True`` (streaming-transducer exports) each
+    utterance decodes chunk by chunk, emitting
+    ``utt_id PARTIAL <running hypothesis>`` lines as tokens appear and
+    a closing ``utt_id FINAL <hypothesis>`` — the incremental-results
+    protocol of a live-captioning deployment. The FINAL text is
+    identical to the offline decode.
 
     Already-buffered input lines are micro-batched up to ``batch_size``
     (one padded device call), so piping a whole scp through scores at
@@ -311,6 +364,16 @@ def serve(
         if not path:
             out_stream.write(f"{utt} **ERROR** missing path\n")
             out_stream.flush()
+            continue
+        if streaming:
+            def on_partial(text, utt=utt):
+                out_stream.write(f"{utt} PARTIAL {text}".rstrip() + "\n")
+                out_stream.flush()
+
+            text = model.stream_file(path.strip(), on_partial=on_partial)
+            out_stream.write(f"{utt} FINAL {text}".rstrip() + "\n")
+            out_stream.flush()
+            served += 1
             continue
         pending.append((utt, path.strip()))
         if len(pending) >= batch_size or not more_ready():

@@ -106,6 +106,94 @@ class TestExport:
         assert set(text.split()) <= {"a", "b", "c"}
 
 
+STREAM_MODEL_CFG = """[encoder]
+encoder = dblstm
+bidirectional = false
+num_layers = 1
+num_units = 12
+
+[decoder]
+decoder = rnnt
+num_units = 10
+embed_dim = 6
+joint_units = 8
+loss = transducer
+"""
+
+STREAM_TRAINER_CFG = TRAINER_CFG.replace("num_steps = 25", "num_steps = 8")
+
+
+class TestStreamingServe:
+    @pytest.fixture(scope="class")
+    def stream_export(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("serving_stream")
+        corpus = {
+            "train": make_corpus(str(root / "train"), 8, seed=32),
+            "dev": make_corpus(str(root / "dev"), 3, seed=33),
+        }
+        recipe = str(root / "recipe")
+        write_recipe(
+            recipe, corpus, STREAM_MODEL_CFG, STREAM_TRAINER_CFG,
+            recognizer_lines=(
+                "recognizer = transducer_streaming\nchunk_frames = 16"
+            ),
+        )
+        expdir = str(root / "exp")
+        from nabu_tpu.scripts import data as data_script
+        from nabu_tpu.scripts import train as train_script
+        from nabu_tpu.serving import export_model
+
+        data_script.main(recipe, expdir)
+        train_script.main(recipe, expdir)
+        out = export_model(recipe, expdir)
+        return out, corpus
+
+    def test_stream_file_matches_offline(self, stream_export):
+        out, corpus = stream_export
+        from nabu_tpu.serving import load_exported
+
+        exported = load_exported(out)
+        entries = _dev_wavs(corpus, 2)
+        partials = []
+        final = exported.stream_file(
+            entries[0][1], on_partial=partials.append
+        )
+        # offline decode through the exported recognizer == streamed
+        offline = exported.recognize(entries[0][1])
+        assert final == offline
+        # every partial is a prefix of the final hypothesis
+        for p in partials:
+            assert final.startswith(p)
+
+    def test_serve_streaming_protocol(self, stream_export):
+        out, corpus = stream_export
+        from nabu_tpu.serving import load_exported, serve
+
+        entries = _dev_wavs(corpus, 2)
+        lines = "".join(f"{u} {p}\n" for u, p in entries)
+        out_stream = io.StringIO()
+        served = serve(
+            out, in_stream=io.StringIO(lines), out_stream=out_stream,
+            streaming=True,
+        )
+        assert served == len(entries)
+        got = out_stream.getvalue().splitlines()
+        finals = {
+            line.split(" ", 2)[0]: (line.split(" ", 2) + [""])[2]
+            for line in got
+            if line.split(" ", 2)[1] == "FINAL"
+        }
+        assert set(finals) == {u for u, _ in entries}
+        exported = load_exported(out)
+        for utt, path in entries:
+            assert finals[utt] == exported.recognize(path)
+        # PARTIAL lines (if any) precede their FINAL and are prefixes
+        for line in got:
+            utt, kind, text = (line.split(" ", 2) + [""])[:3]
+            if kind == "PARTIAL":
+                assert finals[utt].startswith(text)
+
+
 class TestServe:
     def test_line_protocol(self, trained):
         root, recipe, expdir, corpus = trained
