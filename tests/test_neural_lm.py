@@ -244,12 +244,26 @@ class TestTransducerFusionRnn:
         best = [(-np.inf, [])]
         vec0, st0 = pred(dec.sos_id, dec.pred_init_state(1))
 
+        # pre-score every possible label prefix in ONE batched device
+        # call (the enumeration below would otherwise make hundreds of
+        # tiny eager calls — slow, and heavy compile churn for the
+        # environment's fragile XLA:CPU)
+        from itertools import product
+
+        all_prefixes = [[]]
+        for L in range(1, T * K + 1):
+            all_prefixes += [
+                list(p) for p in product(range(blank), repeat=L)
+            ]
+        scores_table = lm.seq_logprobs(all_prefixes, include_eos=False)
+        lp_table = {
+            tuple(p): float(s)
+            for p, s in zip(all_prefixes, scores_table)
+        }
+
         def lm_inc(prefix, v):
             """log P_lm(v | prefix), no eos (emission fusion term)."""
-            return float(
-                lm.seq_logprobs([prefix + [v]], include_eos=False)[0]
-                - lm.seq_logprobs([prefix], include_eos=False)[0]
-            )
+            return lp_table[tuple(prefix) + (v,)] - lp_table[tuple(prefix)]
 
         def rec(t, k, vec, st, acc, toks):
             if t == T:
