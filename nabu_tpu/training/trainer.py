@@ -125,6 +125,13 @@ class Trainer:
         self.num_tries = conf.getint("num_tries", 3)
         self.lr_backoff = conf.getfloat("lr_backoff_factor", 0.5)
         self.early_stopping = conf.getbool("early_stopping", True)
+        # sortagrad (ESPnet-style curriculum): present the FIRST epoch
+        # in ascending utterance-length order — short, easy utterances
+        # stabilize early CTC/attention alignment — then shuffle as
+        # usual. The loader's within-bucket order is already
+        # length-ascending (indices derive from a global length sort),
+        # so the curriculum is exactly `shuffle=False` on epoch 0.
+        self.sortagrad = conf.getbool("sortagrad", False)
         self.frame_shift = conf.getfloat("frame_shift", 0.01)
         # aux subsystems (SURVEY.md §5): profiling + NaN guard. The
         # reference had TensorBoard summaries only; here a config flag
@@ -297,7 +304,9 @@ class Trainer:
             executes step N. ``skip_n`` skips schedule entries before
             assembly (free resume fast-forward)."""
             for batch in self.loader.epoch(
-                epoch_idx, shuffle=True, skip=skip_n
+                epoch_idx,
+                shuffle=not (self.sortagrad and epoch_idx == 0),
+                skip=skip_n,
             ):
                 arrays = mesh_lib.shard_batch(
                     self.mesh, batch_to_arrays(batch)

@@ -426,3 +426,65 @@ class TestEMA:
             )
         )
         assert d_init > 1e-7 and d_raw > 1e-7
+
+
+class TestSortagrad:
+    def _varlen_loader(self, tmp_path, n=12):
+        from nabu_tpu.data.pipeline import BucketedLoader
+        from nabu_tpu.data.storage import ShardWriter, ShardedDataset
+
+        rng = np.random.default_rng(11)
+        fw = ShardWriter(str(tmp_path / "f"))
+        tw = ShardWriter(str(tmp_path / "t"))
+        # write in a scrambled length order so sortedness is earned
+        lens = rng.permutation(np.arange(5, 5 + n))
+        for i, L in enumerate(lens):
+            fw.write(f"u{i}", rng.standard_normal((int(L), 6)).astype(np.float32))
+            tw.write(f"u{i}", rng.integers(0, 4, 3).astype(np.int32))
+        fw.close()
+        tw.close({"num_labels": 4})
+        return BucketedLoader(
+            ShardedDataset(str(tmp_path / "f")),
+            ShardedDataset(str(tmp_path / "t")),
+            batch_size=3,
+            num_buckets=3,
+        )
+
+    def test_unshuffled_epoch_is_length_ascending(self, tmp_path):
+        """The sortagrad curriculum = epoch 0 unshuffled: batches come
+        out in nondecreasing utterance-length order."""
+        loader = self._varlen_loader(tmp_path)
+        prev = 0
+        for batch in loader.epoch(0, shuffle=False):
+            valid = np.asarray(batch.example_mask).astype(bool)
+            longest = int(np.asarray(batch.feature_lengths)[valid].max())
+            assert longest >= prev
+            prev = longest
+
+    def test_trainer_flag_trains(self, tmp_path):
+        import jax
+
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.parallel import mesh as mesh_lib
+        from nabu_tpu.training.trainer import Trainer
+
+        cfg = ConfigFile({
+            "encoder": Conf({"encoder": "dnn", "num_units": "8"},
+                            "encoder"),
+            "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                            "decoder"),
+        })
+        model = build_model(cfg, 6, 4)
+        tconf = Conf({
+            "num_steps": "3", "log_frequency": "1",
+            "learning_rate": "1e-2", "sortagrad": "true",
+        }, "trainer")
+        loader = self._varlen_loader(tmp_path / "data")
+        mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+        trainer = Trainer(
+            tconf, model, loader, str(tmp_path / "exp"), mesh=mesh
+        )
+        assert trainer.sortagrad
+        result = trainer.train(rng_seed=0)
+        assert result["step"] == 3
