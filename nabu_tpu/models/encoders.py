@@ -249,6 +249,23 @@ class TransformerEncoder(Encoder):
     roughly by the depth — numerics identical to the unrolled loop;
     param/checkpoint layout unchanged, the stack is formed in-graph).
 
+    Pipeline parallelism (beyond parity): ``pipeline_stages = S`` (>1)
+    shards the block stack S-ways over the mesh 'pipe' axis and streams
+    ``pipeline_microbatches`` (default 2*S) microbatches through the
+    stages with the GPipe ppermute schedule (parallel/pipeline.py);
+    needs make_mesh(num_pipe=S) installed via parallel.mesh.use_mesh.
+
+    Mixture-of-experts option (beyond parity): ``moe_experts = E`` (>0)
+    replaces every block's dense FFN with E expert FFNs under
+    **expert-choice routing** (each expert picks its top-C tokens,
+    Zhou et al. 2022) — no auxiliary load-balancing loss is needed
+    because every expert processes exactly C tokens by construction,
+    and capacity/shapes are static, so the whole layer is three batched
+    einsums + one gather/scatter: MXU-friendly and GSPMD-shardable over
+    an ``expert`` mesh axis (see parallel/mesh.py EXPERT_AXIS).
+    ``moe_capacity`` (default 2.0) is the average number of expert
+    slots per token: C = ceil(moe_capacity * tokens / E).
+
     Pre-LN blocks, sinusoidal positions, length-masked softmax.
     """
 
@@ -269,6 +286,19 @@ class TransformerEncoder(Encoder):
             raise ValueError("subsample must be 1, 2, 4 or 8")
         self.remat = conf.getbool("remat", False)
         self.scan_layers = conf.getbool("scan_layers", False)
+        self.moe_experts = conf.getint("moe_experts", 0)
+        self.moe_capacity = conf.getfloat("moe_capacity", 2.0)
+        self.pipeline_stages = conf.getint("pipeline_stages", 0)
+        self.pipeline_microbatches = conf.getint(
+            "pipeline_microbatches", 0
+        )
+        if self.pipeline_stages > 1 and (
+            self.num_layers % self.pipeline_stages
+        ):
+            raise ValueError(
+                f"num_layers {self.num_layers} not divisible by "
+                f"pipeline_stages {self.pipeline_stages}"
+            )
         self.output_dim = self.d
 
     def init(self, key) -> dict:
@@ -285,14 +315,72 @@ class TransformerEncoder(Encoder):
                 "wo": core.linear_init(keys[k + 1], self.d, self.d),
                 "ln2_g": jnp.ones((self.d,)),
                 "ln2_b": jnp.zeros((self.d,)),
-                "ffn1": core.linear_init(keys[k + 2], self.d, self.ffn_dim),
-                "ffn2": core.linear_init(keys[k + 3], self.ffn_dim, self.d),
             }
+            if self.moe_experts > 0:
+                params[f"block_{i}"].update(self._moe_init(
+                    keys[k + 2], keys[k + 3]
+                ))
+            else:
+                params[f"block_{i}"].update({
+                    "ffn1": core.linear_init(
+                        keys[k + 2], self.d, self.ffn_dim
+                    ),
+                    "ffn2": core.linear_init(
+                        keys[k + 3], self.ffn_dim, self.d
+                    ),
+                })
             k += 5
         params["ln_out_g"] = jnp.ones((self.d,))
         params["ln_out_b"] = jnp.zeros((self.d,))
         del n_stack
         return params
+
+    def _moe_init(self, k1, k2) -> dict:
+        """Router + expert-stacked FFN weights. Leaf names ``we1``/
+        ``we2`` are the EXPERT_AXIS partition-rule hooks (mesh.py)."""
+        E, d, f = self.moe_experts, self.d, self.ffn_dim
+        return {
+            "wg": core.glorot(jax.random.fold_in(k1, 1), (d, E)),
+            "we1": core.glorot(k1, (E, d, f)),
+            "be1": jnp.zeros((E, f), jnp.float32),
+            "we2": core.glorot(k2, (E, f, d)),
+            "be2": jnp.zeros((E, d), jnp.float32),
+        }
+
+    def _moe_ffn(self, p, y, valid):
+        """Expert-choice MoE FFN on pre-normed y [B, T, d].
+
+        Every expert takes its top-C tokens across the whole flattened
+        batch (C static), computes a dense FFN on them in one batched
+        einsum, and the weighted results scatter-add back to token
+        positions. Unselected tokens pass through the residual only.
+        Padded tokens get router weight 0 so experts prefer real frames
+        (and contribute nothing even if slots outnumber real tokens).
+        """
+        B, T, d = y.shape
+        E = self.moe_experts
+        S = B * T
+        C = min(S, -(-int(self.moe_capacity * S) // E))  # ceil, static
+        yt = y.reshape(S, d)
+        # router in f32; softmax over experts per token (expert-choice)
+        logits = (yt @ p["wg"].astype(y.dtype)).astype(jnp.float32)
+        scores = jax.nn.softmax(logits, axis=-1)
+        scores = jnp.where(valid.reshape(S, 1), scores, 0.0)
+        gate, idx = jax.lax.top_k(scores.T, C)  # [E, C] each
+        xe = jnp.take(yt, idx, axis=0)  # [E, C, d]
+        h = jax.nn.gelu(
+            jnp.einsum("ecd,edf->ecf", xe, p["we1"].astype(y.dtype))
+            + p["be1"].astype(y.dtype)[:, None, :]
+        )
+        out = (
+            jnp.einsum("ecf,efd->ecd", h, p["we2"].astype(y.dtype))
+            + p["be2"].astype(y.dtype)[:, None, :]
+        )
+        out = out * gate.astype(y.dtype)[..., None]
+        combined = jnp.zeros((S, d), y.dtype).at[idx.reshape(-1)].add(
+            out.reshape(-1, d)
+        )
+        return combined.reshape(B, T, d)
 
     def _mhsa(self, p, y, bias):
         """Length-masked multi-head self-attention on pre-normed y."""
@@ -321,15 +409,17 @@ class TransformerEncoder(Encoder):
         return x
 
     def _block(self, p, x, bias, valid, rate, train, rng):
-        del valid  # transformer attention handles masking via bias
         r1, r2 = (
             jax.random.split(rng) if rng is not None else (None, None)
         )
         y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
         x = x + self._drop(self._mhsa(p, y, bias), rate, train, r1)
         y = core.layer_norm(x, p["ln2_g"], p["ln2_b"])
-        y = jax.nn.gelu(y @ p["ffn1"]["w"] + p["ffn1"]["b"])
-        y = core.linear_apply(p["ffn2"], y)
+        if self.moe_experts > 0:
+            y = self._moe_ffn(p, y, valid)
+        else:
+            y = jax.nn.gelu(y @ p["ffn1"]["w"] + p["ffn1"]["b"])
+            y = core.linear_apply(p["ffn2"], y)
         return x + self._drop(y, rate, train, r2)
 
     def apply(self, params, features, lengths, train=False, rng=None):
@@ -355,7 +445,9 @@ class TransformerEncoder(Encoder):
 
         if self.remat:
             block = jax.checkpoint(block)
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            x = self._pipelined_blocks(params, x, bias, valid, rng, block)
+        elif self.scan_layers:
             # one traced block, scanned over the stacked per-layer
             # params (formed in-graph so the stored layout stays
             # per-layer). bias/valid are loop-invariant closures.
@@ -387,6 +479,75 @@ class TransformerEncoder(Encoder):
         # zero padded frames (same contract as the recurrent encoders)
         return x * valid[:, :, None].astype(x.dtype), lengths
 
+    def _pipelined_blocks(self, params, x, bias, valid, rng, block):
+        """Run the block stack pipelined over the mesh 'pipe' axis
+        (``pipeline_stages = S``): layers shard S-ways, the batch
+        splits into ``pipeline_microbatches`` (default 2*S) microbatches
+        streaming through the stages — see parallel/pipeline.py. Needs
+        the trainer's mesh installed via parallel.mesh.use_mesh."""
+        from nabu_tpu.parallel import mesh as mesh_lib
+        from nabu_tpu.parallel.pipeline import PIPE_AXIS, pipeline_apply
+
+        mesh = mesh_lib.current_mesh()
+        if mesh is None or PIPE_AXIS not in mesh.shape:
+            raise ValueError(
+                "pipeline_stages > 1 requires a current mesh with a "
+                "'pipe' axis (make_mesh(num_pipe=S) + mesh.use_mesh)"
+            )
+        S = mesh.shape[PIPE_AXIS]
+        if S != self.pipeline_stages:
+            raise ValueError(
+                f"pipeline_stages {self.pipeline_stages} != mesh pipe "
+                f"axis {S}"
+            )
+        B = x.shape[0]
+        M = self.pipeline_microbatches or 2 * S
+        if B % M:
+            raise ValueError(
+                f"batch {B} not divisible by {M} microbatches"
+            )
+        blocks = [params[f"block_{i}"] for i in range(self.num_layers)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        keys = (
+            jax.random.split(rng, self.num_layers)
+            if rng is not None
+            else jnp.zeros((self.num_layers, 2), jnp.uint32)
+        )
+        has_rng = rng is not None
+
+        def mb(a):
+            return a.reshape(M, B // M, *a.shape[1:])
+
+        x_mb = mb(x)
+        aux_mb = {
+            "bias": mb(bias),
+            # bools don't ppermute; ride as int32
+            "valid": mb(valid.astype(jnp.int32)),
+            "mbid": jnp.arange(M, dtype=jnp.uint32),
+        }
+
+        def stage_fn(pk, x, aux):
+            p_chunk, key_chunk = pk
+            bias_ = aux["bias"]
+            valid_ = aux["valid"].astype(bool)
+
+            def body(x, inp):
+                p, key = inp
+                # distinct dropout streams per (layer, microbatch)
+                sub = (
+                    jax.random.fold_in(key, aux["mbid"])
+                    if has_rng else None
+                )
+                return block(p, x, bias_, valid_, sub), None
+
+            x, _ = jax.lax.scan(body, x, (p_chunk, key_chunk))
+            return x
+
+        out = pipeline_apply(
+            mesh, stage_fn, (stacked, keys), x_mb, aux_mb
+        )
+        return out.reshape(B, *x.shape[1:])
+
 
 @ENCODERS.register("conformer")
 class ConformerEncoder(TransformerEncoder):
@@ -414,11 +575,18 @@ class ConformerEncoder(TransformerEncoder):
         k = 0
         for i in range(self.num_layers):
             blk = params[f"block_{i}"]
-            # macaron second FFN + conv module on top of the base block
+            # macaron second FFN + conv module on top of the base block.
+            # With MoE enabled the base init made the block's FFN the
+            # expert layer (used as the SECOND macaron FFN here), so add
+            # a dense FIRST macaron FFN; otherwise add the dense second.
             blk["ln_ff2_g"] = jnp.ones((d,))
             blk["ln_ff2_b"] = jnp.zeros((d,))
-            blk["ff2_1"] = core.linear_init(keys[k], d, f)
-            blk["ff2_2"] = core.linear_init(keys[k + 1], f, d)
+            if self.moe_experts > 0:
+                blk["ffn1"] = core.linear_init(keys[k], d, f)
+                blk["ffn2"] = core.linear_init(keys[k + 1], f, d)
+            else:
+                blk["ff2_1"] = core.linear_init(keys[k], d, f)
+                blk["ff2_2"] = core.linear_init(keys[k + 1], f, d)
             blk["ln_conv_g"] = jnp.ones((d,))
             blk["ln_conv_b"] = jnp.zeros((d,))
             blk["pw1"] = core.linear_init(keys[k + 2], d, 2 * d)
@@ -469,8 +637,12 @@ class ConformerEncoder(TransformerEncoder):
         x = x + self._drop(
             self._conv_module(p, x, valid), rate, train, r3
         )
-        y = self._ffn(x, p["ln_ff2_g"], p["ln_ff2_b"], p["ff2_1"],
-                      p["ff2_2"])
+        if self.moe_experts > 0:
+            y = core.layer_norm(x, p["ln_ff2_g"], p["ln_ff2_b"])
+            y = self._moe_ffn(p, y, valid)
+        else:
+            y = self._ffn(x, p["ln_ff2_g"], p["ln_ff2_b"], p["ff2_1"],
+                          p["ff2_2"])
         return x + 0.5 * self._drop(y, rate, train, r4)
 
 

@@ -17,28 +17,70 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"
+PIPE_AXIS = "pipe"
+
+_CURRENT_MESH: list = []
 
 
 def make_mesh(
     num_data: Optional[int] = None,
     num_model: int = 1,
+    num_expert: int = 1,
+    num_pipe: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a [data, model] mesh over the available devices.
+    """Build a [data, (expert,) (pipe,) model] mesh.
 
     model-axis neighbors are adjacent device ids so tensor-parallel
-    collectives ride the fastest links.
+    collectives ride the fastest links; the pipe axis (pipeline stages,
+    parallel/pipeline.py) is next-innermost so stage hops are
+    near-neighbor ppermutes; the expert axis (MoE expert parallelism —
+    each group of devices holds a subset of the expert FFNs, tokens
+    move via the collectives GSPMD inserts around the expert-choice
+    gather/combine) sits between data and pipe. Size-1 expert/pipe
+    axes are omitted so the common case stays a 2-axis [data, model]
+    mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if num_data is None:
-        num_data = n // num_model
-    if num_data * num_model != n:
+        num_data = n // (num_model * num_expert * num_pipe)
+    if num_data * num_model * num_expert * num_pipe != n:
         raise ValueError(
-            f"mesh {num_data}x{num_model} != {n} devices"
+            f"mesh {num_data}x{num_expert}x{num_pipe}x{num_model} "
+            f"!= {n} devices"
         )
-    arr = np.asarray(devices).reshape(num_data, num_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    sizes = [(DATA_AXIS, num_data)]
+    if num_expert > 1:
+        sizes.append((EXPERT_AXIS, num_expert))
+    if num_pipe > 1:
+        sizes.append((PIPE_AXIS, num_pipe))
+    sizes.append((MODEL_AXIS, num_model))
+    arr = np.asarray(devices).reshape([s for _, s in sizes])
+    return Mesh(arr, tuple(name for name, _ in sizes))
+
+
+def use_mesh(mesh: Mesh):
+    """Context manager installing ``mesh`` as the process-wide current
+    mesh (read by components that need it at trace time, e.g. the
+    pipeline-parallel encoder path)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        _CURRENT_MESH.append(mesh)
+        try:
+            yield mesh
+        finally:
+            _CURRENT_MESH.pop()
+
+    return ctx()
+
+
+def current_mesh() -> Optional[Mesh]:
+    """The innermost mesh installed by :func:`use_mesh`, or None."""
+    return _CURRENT_MESH[-1] if _CURRENT_MESH else None
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -68,7 +110,10 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
 
 def param_partition_specs(
-    params, model_parallel_size: int = 1, min_shard_size: int = 1 << 14
+    params,
+    model_parallel_size: int = 1,
+    expert_parallel_size: int = 1,
+    min_shard_size: int = 1 << 14,
 ):
     """PartitionSpec pytree for a params tree.
 
@@ -77,6 +122,9 @@ def param_partition_specs(
         ``wqkv``): shard ``out`` over MODEL_AXIS (the 4H gate axis for
         LSTMs, the fused QKV axis for transformers — each shard
         computes its slice locally; GSPMD all-gathers as needed);
+      - MoE expert stacks ``we1``/``we2`` [E, in, out] (or [L, E, in,
+        out] under scan_layers): shard the E axis over EXPERT_AXIS —
+        each device group holds a subset of experts;
       - embedding tables [vocab, dim]: replicated (vocabs are small in
         ASR);
       - biases and small leaves: replicated.
@@ -87,9 +135,18 @@ def param_partition_specs(
     def spec_for(path, leaf) -> P:
         if leaf.ndim < 2 or leaf.size < min_shard_size:
             return P()
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("we1", "we2") and leaf.ndim >= 3:
+            if (
+                expert_parallel_size > 1
+                and leaf.shape[-3] % expert_parallel_size == 0
+            ):
+                return P(*(
+                    [None] * (leaf.ndim - 3) + [EXPERT_AXIS, None, None]
+                ))
+            return P()
         if model_parallel_size > 1 and leaf.shape[-1] % model_parallel_size:
             return P()
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name in ("wx", "wh", "w", "wqkv"):
             # shard the LAST axis (the out/gate/fused-QKV dim) so the
             # same rule covers plain [in, out] kernels and layer-stacked
@@ -109,7 +166,9 @@ def shard_params(mesh: Mesh, params, specs=None):
     """
     if specs is None:
         specs = param_partition_specs(
-            params, model_parallel_size=mesh.shape[MODEL_AXIS]
+            params,
+            model_parallel_size=mesh.shape.get(MODEL_AXIS, 1),
+            expert_parallel_size=mesh.shape.get(EXPERT_AXIS, 1),
         )
     multihost = jax.process_count() > 1
 

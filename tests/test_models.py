@@ -676,6 +676,148 @@ class TestConformerEncoder:
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestMoE:
+    """Expert-choice mixture-of-experts FFN (moe_experts > 0): exact
+    reduction to the dense FFN at E=1/full capacity, brute-force
+    routing reference, padding invariance, and conformer composition."""
+
+    def _build(self, encoder="transformer", **over):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.encoders import build_encoder
+
+        conf = {"encoder": encoder, "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32"}
+        if encoder == "conformer":
+            conf["kernel_size"] = "5"
+        conf.update({k: str(v) for k, v in over.items()})
+        return build_encoder(Conf(conf, "encoder"), input_dim=6)
+
+    def test_single_expert_full_capacity_equals_dense(self):
+        """E=1 with capacity >= tokens is exactly the dense FFN (the
+        one-expert softmax gate is exactly 1, every token is routed)."""
+        import copy
+
+        moe = self._build(moe_experts=1, moe_capacity=1.0)
+        dense = self._build()
+        p_moe = moe.init(jax.random.PRNGKey(0))
+        p_dense = copy.deepcopy(p_moe)
+        for i in range(2):
+            blk = p_dense[f"block_{i}"]
+            for name in ("wg", "we1", "be1", "we2", "be2"):
+                blk.pop(name)
+            src = p_moe[f"block_{i}"]
+            blk["ffn1"] = {"w": src["we1"][0], "b": src["be1"][0]}
+            blk["ffn2"] = {"w": src["we2"][0], "b": src["be2"][0]}
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 9, 6)), jnp.float32)
+        lengths = jnp.array([9, 5], jnp.int32)
+        out_moe, _ = moe.apply(p_moe, x, lengths)
+        out_dense, _ = dense.apply(p_dense, x, lengths)
+        np.testing.assert_allclose(
+            np.asarray(out_moe), np.asarray(out_dense),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_matches_bruteforce_reference(self):
+        """_moe_ffn == per-expert python loop (same top-C selection,
+        gating, and scatter-add combine)."""
+        enc = self._build(moe_experts=4, moe_capacity=1.5)
+        params = enc.init(jax.random.PRNGKey(1))
+        p = params["block_0"]
+        rng = np.random.default_rng(1)
+        B, T, d = 2, 7, 16
+        y = jnp.asarray(rng.standard_normal((B, T, d)), jnp.float32)
+        valid = jnp.asarray(
+            np.arange(T)[None, :] < np.array([[7], [4]])
+        )
+        got = np.asarray(enc._moe_ffn(p, y, valid))
+
+        S, E = B * T, 4
+        C = min(S, -(-int(1.5 * S) // E))
+        yt = np.asarray(y).reshape(S, d)
+        scores = np.asarray(
+            jax.nn.softmax(jnp.asarray(yt) @ p["wg"], axis=-1)
+        ).copy()
+        scores[~np.asarray(valid).reshape(S)] = 0.0
+        want = np.zeros((S, d), np.float32)
+        for e in range(E):
+            order = np.argsort(-scores[:, e], kind="stable")[:C]
+            for i in order:
+                h = np.asarray(
+                    jax.nn.gelu(yt[i] @ p["we1"][e] + p["be1"][e])
+                )
+                want[i] += scores[i, e] * np.asarray(
+                    h @ p["we2"][e] + p["be2"][e]
+                )
+        np.testing.assert_allclose(
+            got.reshape(S, d), want, rtol=2e-4, atol=2e-5
+        )
+
+    def test_padded_values_cannot_leak(self):
+        """Padded frames carry zero router weight, so their VALUES
+        cannot reach valid outputs. (Unlike the dense encoders, adding
+        MORE padding is not invariant: expert-choice capacity is
+        computed from the padded token count, so routing — like batch
+        norm — legitimately depends on batch composition.)"""
+        enc = self._build(moe_experts=4, moe_capacity=2.0)
+        params = enc.init(jax.random.PRNGKey(2))
+        rng = np.random.default_rng(2)
+        x = np.asarray(rng.standard_normal((2, 12, 6)), np.float32)
+        lengths = jnp.array([12, 7], jnp.int32)
+        out1, _ = enc.apply(params, jnp.asarray(x), lengths)
+        x2 = x.copy()
+        x2[1, 7:] = 100.0 * rng.standard_normal((5, 6))
+        out2, _ = enc.apply(params, jnp.asarray(x2), lengths)
+        np.testing.assert_allclose(
+            np.asarray(out2[:, :7]), np.asarray(out1[:, :7]),
+            rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2[0]), np.asarray(out1[0]),
+            rtol=2e-5, atol=2e-6,
+        )
+
+    def test_conformer_moe_grads_finite(self):
+        """Conformer with the second macaron FFN as MoE: trains."""
+        enc = self._build(
+            encoder="conformer", moe_experts=2, dropout=0.1
+        )
+        params = enc.init(jax.random.PRNGKey(3))
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 10, 6)),
+            jnp.float32,
+        )
+        lengths = jnp.array([10, 6], jnp.int32)
+
+        @jax.jit
+        def loss(p, key):
+            out, _ = enc.apply(p, x, lengths, train=True, rng=key)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params, jax.random.PRNGKey(4))
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # router + experts receive gradient
+        assert float(
+            jnp.abs(jax.tree.leaves(g["block_0"]["wg"])[0]).max()
+        ) > 0.0
+        assert float(jnp.abs(g["block_0"]["we1"]).max()) > 0.0
+
+    def test_scan_layers_moe_matches_unrolled(self):
+        """MoE blocks are homogeneous, so scan_layers composes."""
+        a = self._build(moe_experts=2, scan_layers=False)
+        b = self._build(moe_experts=2, scan_layers=True)
+        params = a.init(jax.random.PRNGKey(5))
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 8, 6)), jnp.float32)
+        lengths = jnp.array([8, 5], jnp.int32)
+        out_a, _ = a.apply(params, x, lengths)
+        out_b, _ = b.apply(params, x, lengths)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6
+        )
+
+
 class TestScanLayers:
     """scan_layers = true runs the block stack as one lax.scan over
     stacked per-layer params (one traced block instead of num_layers

@@ -141,6 +141,122 @@ class TestDataParallelEquivalence:
         l_par = jax.jit(loss_of)(params_s, batch_s)
         np.testing.assert_allclose(float(l_par), float(l_ref), rtol=1e-5)
 
+    def test_expert_parallel_matches(self):
+        """MoE expert weights sharded over the 'expert' mesh axis are
+        numerically transparent for loss AND grads."""
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.ops.losses import make_loss_computer
+
+        cfg = ConfigFile({
+            "encoder": Conf({
+                "encoder": "transformer", "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+                "moe_experts": "4", "moe_capacity": "2.0",
+            }, "encoder"),
+            "decoder": Conf(
+                {"decoder": "linear_ctc", "loss": "ctc"}, "decoder"
+            ),
+        })
+        model = build_model(cfg, input_dim=16, num_labels=8)
+        loss_fn = make_loss_computer(model)
+        params = model.init(jax.random.PRNGKey(0))
+        batch_host = _batch()
+        rng = jax.random.PRNGKey(3)
+
+        def loss_of(params, batch):
+            return loss_fn(params, batch, rng, False)[0]
+
+        grad_ref = jax.grad(loss_of)(
+            params, jax.tree.map(jnp.asarray, batch_host)
+        )
+        l_ref = loss_of(params, jax.tree.map(jnp.asarray, batch_host))
+
+        mesh = mesh_lib.make_mesh(num_data=2, num_expert=4)
+        assert mesh.shape == {"data": 2, "expert": 4, "model": 1}
+        specs = mesh_lib.param_partition_specs(
+            params, expert_parallel_size=4, min_shard_size=1
+        )
+        params_s = mesh_lib.shard_params(mesh, params, specs)
+        we1 = params_s["encoder"]["block_0"]["we1"]
+        assert we1.sharding.spec == P("expert", None, None)
+        assert we1.addressable_shards[0].data.shape[0] == 1  # 4/4
+        batch_s = mesh_lib.shard_batch(mesh, batch_host)
+        l_par = jax.jit(loss_of)(params_s, batch_s)
+        np.testing.assert_allclose(float(l_par), float(l_ref), rtol=1e-5)
+        grad_par = jax.jit(jax.grad(loss_of))(params_s, batch_s)
+        np.testing.assert_allclose(
+            np.asarray(grad_par["encoder"]["block_0"]["we1"]),
+            np.asarray(grad_ref["encoder"]["block_0"]["we1"]),
+            rtol=5e-4, atol=1e-5,
+        )
+
+    def test_pipeline_parallel_matches(self):
+        """GPipe pipelining over the 'pipe' mesh axis (layers sharded
+        4-ways, microbatched ppermute schedule) matches the unpipelined
+        encoder for values and grads. Tolerances allow the f32
+        attention internals' reorder noise (bias/softmax are f32 by
+        design on every path)."""
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.encoders import build_encoder
+
+        base = {"encoder": "transformer", "num_layers": "4",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32"}
+        a = build_encoder(Conf(dict(base), "encoder"), input_dim=6)
+        b = build_encoder(
+            Conf({**base, "pipeline_stages": "4",
+                  "pipeline_microbatches": "4"}, "encoder"),
+            input_dim=6,
+        )
+        params = a.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((8, 10, 6)), jnp.float32)
+        lengths = jnp.asarray(
+            np.r_[np.full(4, 10), np.full(4, 6)].astype(np.int32)
+        )
+
+        out_a, len_a = a.apply(params, x, lengths)
+
+        def loss_a(p):
+            return jnp.sum(a.apply(p, x, lengths)[0] ** 2)
+
+        def loss_b(p):
+            return jnp.sum(b.apply(p, x, lengths)[0] ** 2)
+
+        ga = jax.grad(loss_a)(params)
+        mesh = mesh_lib.make_mesh(num_data=2, num_pipe=4)
+        assert mesh.shape == {"data": 2, "pipe": 4, "model": 1}
+        with mesh_lib.use_mesh(mesh):
+            out_b, len_b = jax.jit(
+                lambda p: b.apply(p, x, lengths)
+            )(params)
+            gb = jax.jit(jax.grad(loss_b))(params)
+        np.testing.assert_array_equal(np.asarray(len_a), np.asarray(len_b))
+        np.testing.assert_allclose(
+            np.asarray(out_b), np.asarray(out_a), rtol=1e-4, atol=1e-5
+        )
+        gmax = max(
+            float(jnp.abs(l).max()) for l in jax.tree.leaves(ga)
+        )
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            assert float(jnp.abs(la - lb).max()) <= 2e-5 + 1e-2 * gmax
+
+    def test_pipeline_requires_mesh(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.encoders import build_encoder
+
+        enc = build_encoder(
+            Conf({"encoder": "transformer", "num_layers": "4",
+                  "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+                  "pipeline_stages": "4"}, "encoder"),
+            input_dim=6,
+        )
+        params = enc.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((8, 10, 6), jnp.float32)
+        lengths = jnp.full((8,), 10, jnp.int32)
+        with pytest.raises(ValueError, match="pipe"):
+            enc.apply(params, x, lengths)
+
     def test_full_train_step_on_mesh(self):
         """One adam step over a 4x2 mesh produces finite updated params
         with preserved shardings."""
