@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--process_id", type=int, default=None)
     sp.add_argument("--num_model_parallel", type=int, default=1,
                     help="model-axis mesh size (GSPMD sharding)")
+    sp.add_argument("--num_expert_parallel", type=int, default=1,
+                    help="expert-axis mesh size (MoE encoders)")
+    sp.add_argument("--num_pipeline", type=int, default=1,
+                    help="pipe-axis mesh size (pipeline_stages "
+                         "encoders)")
+    sp.add_argument("--num_seq_parallel", type=int, default=1,
+                    help="seq-axis mesh size (time-sharded attention "
+                         "encoders)")
     sp.add_argument("--computing", default="local",
                     choices=["local", "ssh", "condor"],
                     help="where the processes run (the reference's "
@@ -163,9 +171,15 @@ def _launch_cluster(args) -> int:
     conf = _computing_conf(args.computing_conf)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(args.expdir, exist_ok=True)
-    extra = (
-        f"--num_model_parallel={args.num_model_parallel}"
-        if args.num_model_parallel != 1 else ""
+    extra = " ".join(
+        f"--{name}={val}"
+        for name, val in [
+            ("num_model_parallel", args.num_model_parallel),
+            ("num_expert_parallel", args.num_expert_parallel),
+            ("num_pipeline", args.num_pipeline),
+            ("num_seq_parallel", args.num_seq_parallel),
+        ]
+        if val != 1
     )
     if args.computing == "ssh":
         from nabu_tpu.computing import ssh_cluster
@@ -255,6 +269,9 @@ def main(argv=None) -> int:
             num_processes=args.num_processes,
             process_id=args.process_id,
             num_model_parallel=args.num_model_parallel,
+            num_expert_parallel=args.num_expert_parallel,
+            num_pipeline=args.num_pipeline,
+            num_seq_parallel=args.num_seq_parallel,
         )
     elif args.command == "kill":
         return _kill_cluster(args)

@@ -422,6 +422,26 @@ class TransformerEncoder(Encoder):
             y = core.linear_apply(p["ffn2"], y)
         return x + self._drop(y, rate, train, r2)
 
+    @staticmethod
+    def _seq_shard(x):
+        """Pin [B, T, d] activations to (data, seq) sharding when the
+        current mesh has a 'seq' axis (sequence parallelism): LN/FFN/
+        residual work stays time-sharded; GSPMD all-gathers keys and
+        values only where attention genuinely needs every frame."""
+        from nabu_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.current_mesh()
+        if mesh is not None and mesh_lib.SEQ_AXIS in mesh.shape:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(
+                    mesh, P(mesh_lib.DATA_AXIS, mesh_lib.SEQ_AXIS, None)
+                ),
+            )
+        return x
+
     def apply(self, params, features, lengths, train=False, rng=None):
         x = features
         for _ in range(self.subsample.bit_length() - 1):
@@ -429,6 +449,7 @@ class TransformerEncoder(Encoder):
         B, T, _ = x.shape
         x = core.linear_apply(params["in_proj"], x)
         x = x + _sinusoidal_pe(T, self.d, x.dtype)[None]
+        x = self._seq_shard(x)
         # [B, 1, 1, T] additive attention bias: -inf at padded keys
         valid = (
             jnp.arange(T, dtype=lengths.dtype)[None, :] < lengths[:, None]
@@ -441,7 +462,9 @@ class TransformerEncoder(Encoder):
         def block(p, x, bias, valid, sub, _rate=rate, _train=train):
             # rate/train closed over (static): they gate python-level
             # dropout branches and must not become tracers under remat
-            return self._block(p, x, bias, valid, _rate, _train, sub)
+            return self._seq_shard(
+                self._block(p, x, bias, valid, _rate, _train, sub)
+            )
 
         if self.remat:
             block = jax.checkpoint(block)

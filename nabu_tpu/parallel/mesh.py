@@ -19,6 +19,7 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 EXPERT_AXIS = "expert"
 PIPE_AXIS = "pipe"
+SEQ_AXIS = "seq"
 
 _CURRENT_MESH: list = []
 
@@ -28,34 +29,38 @@ def make_mesh(
     num_model: int = 1,
     num_expert: int = 1,
     num_pipe: int = 1,
+    num_seq: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a [data, (expert,) (pipe,) model] mesh.
+    """Build a [data, (expert,) (pipe,) (seq,) model] mesh.
 
     model-axis neighbors are adjacent device ids so tensor-parallel
-    collectives ride the fastest links; the pipe axis (pipeline stages,
-    parallel/pipeline.py) is next-innermost so stage hops are
-    near-neighbor ppermutes; the expert axis (MoE expert parallelism —
-    each group of devices holds a subset of the expert FFNs, tokens
-    move via the collectives GSPMD inserts around the expert-choice
-    gather/combine) sits between data and pipe. Size-1 expert/pipe
-    axes are omitted so the common case stays a 2-axis [data, model]
-    mesh.
+    collectives ride the fastest links; the seq axis (sequence
+    parallelism — activations shard along time, attention all-gathers
+    keys/values via GSPMD) and pipe axis (pipeline stages,
+    parallel/pipeline.py) are next-innermost so their hops are
+    near-neighbor; the expert axis (MoE expert parallelism — each
+    group of devices holds a subset of the expert FFNs, tokens move
+    via the collectives GSPMD inserts around the expert-choice
+    gather/combine) sits between data and pipe. Size-1 optional axes
+    are omitted so the common case stays a 2-axis [data, model] mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if num_data is None:
-        num_data = n // (num_model * num_expert * num_pipe)
-    if num_data * num_model * num_expert * num_pipe != n:
+        num_data = n // (num_model * num_expert * num_pipe * num_seq)
+    if num_data * num_model * num_expert * num_pipe * num_seq != n:
         raise ValueError(
-            f"mesh {num_data}x{num_expert}x{num_pipe}x{num_model} "
-            f"!= {n} devices"
+            f"mesh {num_data}x{num_expert}x{num_pipe}x{num_seq}"
+            f"x{num_model} != {n} devices"
         )
     sizes = [(DATA_AXIS, num_data)]
     if num_expert > 1:
         sizes.append((EXPERT_AXIS, num_expert))
     if num_pipe > 1:
         sizes.append((PIPE_AXIS, num_pipe))
+    if num_seq > 1:
+        sizes.append((SEQ_AXIS, num_seq))
     sizes.append((MODEL_AXIS, num_model))
     arr = np.asarray(devices).reshape([s for _, s in sizes])
     return Mesh(arr, tuple(name for name, _ in sizes))
@@ -91,22 +96,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict onto the mesh, batch dim over 'data'.
 
+    On a mesh with a 'seq' axis, the features' time dim additionally
+    shards over 'seq' (sequence parallelism — the attention encoders
+    keep activations time-sharded, see encoders.TransformerEncoder).
+
     Multi-host: every process passes its LOCAL batch (the loader's
     per-host shard) and the result is the GLOBAL array — process-local
     data concatenates along the data axis, so global batch =
     num_hosts * per-host batch.
     """
     multihost = jax.process_count() > 1
+    has_seq = SEQ_AXIS in mesh.shape
 
-    def put(x):
+    def put(key, x):
         x = np.asarray(x)
-        spec = P(DATA_AXIS) if x.ndim >= 1 else P()
+        if key == "features" and has_seq and x.ndim >= 3:
+            spec = P(DATA_AXIS, SEQ_AXIS)
+        elif x.ndim >= 1:
+            spec = P(DATA_AXIS)
+        else:
+            spec = P()
         sharding = NamedSharding(mesh, spec)
         if multihost:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
-    return jax.tree.map(put, batch)
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def param_partition_specs(

@@ -57,6 +57,23 @@ def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x_mb, aux_mb):
     M = x_mb.shape[0]
     perm = [(i, (i + 1) % S) for i in range(S)]
 
+    # XLA:CPU's AllReducePromotion pass crashes (CHECK failure
+    # "Invalid binary instruction opcode copy") when promoting bf16
+    # all-reduces, and the shard_map transpose inserts one for the
+    # replicated x_mb input. TPU reduces bf16 natively; on CPU keep
+    # the pipeline boundary in f32 (tests/CI surface only).
+    out_dtype = x_mb.dtype
+    cpu = jax.default_backend() == "cpu"
+    if cpu and x_mb.dtype == jnp.bfloat16:
+        x_mb = x_mb.astype(jnp.float32)
+
+        inner_stage_fn = stage_fn
+
+        def stage_fn(params, x, aux):  # noqa: F811
+            return inner_stage_fn(
+                params, x.astype(out_dtype), aux
+            ).astype(jnp.float32)
+
     def worker(params, x_mb, aux_mb):
         s = jax.lax.axis_index(PIPE_AXIS)
         first = s == 0
@@ -100,7 +117,7 @@ def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x_mb, aux_mb):
         outputs = jnp.where(last, outputs, jnp.zeros_like(outputs))
         return jax.lax.psum(outputs, PIPE_AXIS)
 
-    return jax.shard_map(
+    out = jax.shard_map(
         worker,
         mesh=mesh,
         in_specs=(P(PIPE_AXIS), P(), P()),
@@ -108,3 +125,4 @@ def pipeline_apply(mesh: Mesh, stage_fn, stage_params, x_mb, aux_mb):
         axis_names={PIPE_AXIS},
         check_vma=False,
     )(stage_params, x_mb, aux_mb)
+    return out.astype(out_dtype)

@@ -29,6 +29,9 @@ def main(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     num_model_parallel: int = 1,
+    num_expert_parallel: int = 1,
+    num_pipeline: int = 1,
+    num_seq_parallel: int = 1,
 ) -> dict:
     if distributed:
         if coordinator is None:
@@ -99,7 +102,12 @@ def main(
         )
         valid_fn = build_evaluator(vconf, model, vloader)
 
-    mesh = make_mesh(num_model=num_model_parallel)
+    mesh = make_mesh(
+        num_model=num_model_parallel,
+        num_expert=num_expert_parallel,
+        num_pipe=num_pipeline,
+        num_seq=num_seq_parallel,
+    )
     trainer = build_trainer(
         trainer_conf, model, loader, expdir, valid_fn=valid_fn, mesh=mesh
     )

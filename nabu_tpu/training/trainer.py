@@ -252,6 +252,12 @@ class Trainer:
 
     # -- main loop -------------------------------------------------------
     def train(self, rng_seed: int = 0) -> Dict:
+        # install the mesh for components that read it at trace time
+        # (pipeline-parallel / sequence-parallel encoder paths)
+        with mesh_lib.use_mesh(self.mesh):
+            return self._train(rng_seed)
+
+    def _train(self, rng_seed: int = 0) -> Dict:
         state = self.init_state(rng_seed)
         if self.conf.getbool("resume", False) and self.ckpt.exists("latest"):
             state = self.ckpt.restore("latest", state)
@@ -259,6 +265,9 @@ class Trainer:
         specs = mesh_lib.param_partition_specs(
             state["params"],
             model_parallel_size=self.mesh.shape[mesh_lib.MODEL_AXIS],
+            expert_parallel_size=self.mesh.shape.get(
+                mesh_lib.EXPERT_AXIS, 1
+            ),
         )
         params = mesh_lib.shard_params(self.mesh, state["params"], specs)
         # optimizer moments mirror the params tree (same leaf names), so
@@ -266,6 +275,9 @@ class Trainer:
         opt_specs = mesh_lib.param_partition_specs(
             state["opt_state"],
             model_parallel_size=self.mesh.shape[mesh_lib.MODEL_AXIS],
+            expert_parallel_size=self.mesh.shape.get(
+                mesh_lib.EXPERT_AXIS, 1
+            ),
         )
         opt_state = mesh_lib.shard_params(
             self.mesh, state["opt_state"], opt_specs

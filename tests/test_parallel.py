@@ -191,6 +191,51 @@ class TestDataParallelEquivalence:
             rtol=5e-4, atol=1e-5,
         )
 
+    def test_sequence_parallel_matches(self):
+        """Time-sharded activations ('seq' mesh axis) are numerically
+        transparent for loss and grads on the attention encoders."""
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.ops.losses import make_loss_computer
+
+        cfg = ConfigFile({
+            "encoder": Conf({
+                "encoder": "transformer", "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+            }, "encoder"),
+            "decoder": Conf(
+                {"decoder": "linear_ctc", "loss": "ctc"}, "decoder"
+            ),
+        })
+        model = build_model(cfg, input_dim=16, num_labels=8)
+        loss_fn = make_loss_computer(model)
+        params = model.init(jax.random.PRNGKey(0))
+        batch_host = _batch()
+        rng = jax.random.PRNGKey(3)
+
+        def loss_of(params, batch):
+            return loss_fn(params, batch, rng, False)[0]
+
+        l_ref = loss_of(params, jax.tree.map(jnp.asarray, batch_host))
+        g_ref = jax.grad(loss_of)(
+            params, jax.tree.map(jnp.asarray, batch_host)
+        )
+
+        mesh = mesh_lib.make_mesh(num_data=2, num_seq=4)
+        assert mesh.shape == {"data": 2, "seq": 4, "model": 1}
+        batch_s = mesh_lib.shard_batch(mesh, batch_host)
+        assert batch_s["features"].sharding.spec == P("data", "seq")
+        params_s = mesh_lib.shard_params(mesh, params)
+        with mesh_lib.use_mesh(mesh):
+            l_par = jax.jit(loss_of)(params_s, batch_s)
+            g_par = jax.jit(jax.grad(loss_of))(params_s, batch_s)
+        np.testing.assert_allclose(float(l_par), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_par["encoder"]["block_0"]["wqkv"]),
+            np.asarray(g_ref["encoder"]["block_0"]["wqkv"]),
+            rtol=5e-4, atol=1e-5,
+        )
+
     def test_pipeline_parallel_matches(self):
         """GPipe pipelining over the 'pipe' mesh axis (layers sharded
         4-ways, microbatched ppermute schedule) matches the unpipelined
