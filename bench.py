@@ -33,16 +33,21 @@ def build_model_and_loss(use_pallas_lstm=False, use_pallas_ctc=False,
     from nabu_tpu.models.model import build_model
     from nabu_tpu.ops.losses import make_loss_computer
 
-    if arch in ("transformer", "conformer"):
+    if arch in ("transformer", "conformer", "moe_conformer"):
         # beyond-parity TPU-first encoders: all-matmul, no recurrence
+        enc = {
+            "encoder": arch.replace("moe_", ""), "num_layers": "6",
+            "num_units": "512", "num_heads": "8",
+            "ffn_dim": "2048", "subsample": "4",
+            "scan_layers": str(scan_layers).lower(),
+        }
+        if arch == "moe_conformer":
+            # recipes/moe_conformer_ctc_wsj scale: 8 expert-choice
+            # routed FFNs on the second macaron FFN of each block
+            enc.update(moe_experts="8", moe_capacity="2.0")
         cfg = ConfigFile({
             "model": Conf({"compute_dtype": compute_dtype}, "model"),
-            "encoder": Conf({
-                "encoder": arch, "num_layers": "6",
-                "num_units": "512", "num_heads": "8",
-                "ffn_dim": "2048", "subsample": "4",
-                "scan_layers": str(scan_layers).lower(),
-            }, "encoder"),
+            "encoder": Conf(enc, "encoder"),
             "decoder": Conf({
                 "decoder": "linear_ctc", "loss": "ctc",
                 "use_pallas": str(use_pallas_ctc).lower(),
@@ -314,7 +319,8 @@ def main():
                         default="train")
     parser.add_argument("--model",
                         choices=["dblstm", "las", "transformer",
-                                 "conformer", "rnnt", "conformer_rnnt"],
+                                 "conformer", "moe_conformer", "rnnt",
+                                 "conformer_rnnt"],
                         default="dblstm",
                         help="dblstm = BASELINE config 2 CTC workhorse; "
                              "las = config 4/5 joint CTC/attention; "

@@ -90,9 +90,14 @@ class CTCGreedyRecognizer(Recognizer):
 
     def __init__(self, conf, model, head=None):
         super().__init__(conf, model, head)
-        self.blank_id = getattr(
-            self.decoder, "blank_id", self.decoder.output_dim - 1
-        )
+        if not hasattr(self.decoder, "blank_id"):
+            raise ValueError(
+                f"head {self.head!r} ({type(self.decoder).__name__}) is "
+                "not a frame-synchronous CTC head — point this "
+                "recognizer at the CTC head (`head = ctc`) or use an "
+                "attention/transducer recognizer"
+            )
+        self.blank_id = self.decoder.blank_id
         self._decode = jax.jit(self._decode_impl)
 
     def _decode_impl(self, params, features, feature_lengths):
@@ -264,9 +269,14 @@ class CTCBeamRecognizer(Recognizer):
 
     def __init__(self, conf, model, head=None):
         super().__init__(conf, model, head)
-        self.blank_id = getattr(
-            self.decoder, "blank_id", self.decoder.output_dim - 1
-        )
+        if not hasattr(self.decoder, "blank_id"):
+            raise ValueError(
+                f"head {self.head!r} ({type(self.decoder).__name__}) is "
+                "not a frame-synchronous CTC head — point this "
+                "recognizer at the CTC head (`head = ctc`) or use an "
+                "attention/transducer recognizer"
+            )
+        self.blank_id = self.decoder.blank_id
         self.beam_width = conf.getint("beam_width", 4)
         self.nbest = min(conf.getint("nbest", 1), self.beam_width)
         self.max_label_len = conf.getint("max_label_len", 0)

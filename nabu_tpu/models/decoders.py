@@ -311,6 +311,267 @@ class Speller(Decoder):
         return logits, target_lengths + 1
 
 
+@DECODERS.register("transformer")
+class TransformerDecoder(Decoder):
+    """Transformer attention decoder (beyond parity — the reference's
+    only attention decoder is the LSTM Speller). TPU-first rationale:
+    training is ONE parallel pass over all label positions (causal
+    self-attention + cross-attention over the encoder), so unlike the
+    speller's lax.scan there is no sequential dependency chain at all —
+    every op is a large batched MXU matmul over [B, L] tokens.
+
+    Decoding exposes the same ``step``/``init_state``/``precompute``
+    contract as the Speller, so every existing search (attention beam,
+    joint CTC/attention, MWER's in-graph n-best, rescoring) works
+    unchanged: the state carries per-layer self-attention KV caches
+    [B, cap, d] (cap = encoder frames — an output longer than the
+    encoder's frame count is impossible in ASR) plus the position.
+    ``precompute`` projects the per-layer cross-attention K/V once.
+
+    Config: ``num_layers`` (4), ``num_units`` (256), ``num_heads``
+    (4), ``ffn_dim`` (4*num_units), ``dropout``. Pre-LN blocks.
+    Scheduled sampling does not apply (training is parallel, not
+    autoregressive); label smoothing lives in the loss as usual.
+    """
+
+    def __init__(self, conf: Conf, encoder_dim: int, num_labels: int):
+        super().__init__(conf, encoder_dim, num_labels)
+        self.num_layers = conf.getint("num_layers", 4)
+        self.d = conf.getint("num_units", 256)
+        self.num_heads = conf.getint("num_heads", 4)
+        if self.d % self.num_heads:
+            raise ValueError(
+                f"num_units {self.d} not divisible by num_heads "
+                f"{self.num_heads}"
+            )
+        self.ffn_dim = conf.getint("ffn_dim", 4 * self.d)
+        self.dropout = conf.getfloat("dropout", 0.0)
+        self.sos_id = self.num_labels
+        self.eos_id = self.num_labels
+
+    def init(self, key) -> dict:
+        keys = jax.random.split(key, 6 * self.num_layers + 2)
+        d, f = self.d, self.ffn_dim
+        params: Dict[str, dict] = {
+            "embed": core.embedding_init(keys[0], self.output_dim, d)
+        }
+        k = 1
+        for i in range(self.num_layers):
+            params[f"block_{i}"] = {
+                "ln1_g": jnp.ones((d,)), "ln1_b": jnp.zeros((d,)),
+                "wqkv": core.glorot(keys[k], (d, 3 * d)),
+                "wo": core.linear_init(keys[k + 1], d, d),
+                "ln2_g": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
+                "wq_x": core.glorot(keys[k + 2], (d, d)),
+                "wkv_enc": core.glorot(
+                    keys[k + 3], (self.encoder_dim, 2 * d)
+                ),
+                "wo_x": core.linear_init(keys[k + 4], d, d),
+                "ln3_g": jnp.ones((d,)), "ln3_b": jnp.zeros((d,)),
+                "ffn1": core.linear_init(keys[k + 5], d, f),
+                "ffn2": core.linear_init(
+                    jax.random.fold_in(keys[k + 5], 1), f, d
+                ),
+            }
+            k += 6
+        params["ln_out_g"] = jnp.ones((d,))
+        params["ln_out_b"] = jnp.zeros((d,))
+        params["out"] = core.linear_init(keys[-1], d, self.output_dim)
+        return params
+
+    # -- pieces ------------------------------------------------------------
+    def _heads(self, x, B, n):
+        """[B, n, d] -> [B, H, n, hd]."""
+        hd = self.d // self.num_heads
+        return x.reshape(B, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+    def _merge(self, x, B, n):
+        return x.transpose(0, 2, 1, 3).reshape(B, n, self.d)
+
+    def _mha(self, q, k, v, bias):
+        """q [B,H,n,hd] x k/v [B,H,m,hd]; bias broadcastable to
+        [B,H,n,m]. f32 scores/softmax (TPU numerics contract)."""
+        hd = q.shape[-1]
+        scores = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        w = jax.nn.softmax(scores + bias, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+
+    def _cross_kv(self, p, encoded):
+        """Per-layer cross-attention K/V projections of the encoder."""
+        B, T, _ = encoded.shape
+        kv = encoded @ p["wkv_enc"]  # [B, T, 2d]
+        k, v = jnp.split(kv, 2, axis=-1)
+        return self._heads(k, B, T), self._heads(v, B, T)
+
+    def precompute(self, params, encoded):
+        return {
+            f"block_{i}": self._cross_kv(params[f"block_{i}"], encoded)
+            for i in range(self.num_layers)
+        }
+
+    def _block(self, p, x, self_bias, cross_kv, cross_bias,
+               self_kv=None):
+        """One decoder block on x [B, n, d]. ``self_kv`` overrides the
+        self-attention keys/values (the step path passes the cache);
+        the parallel path derives them from x itself."""
+        B, n, _ = x.shape
+        y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
+        qkv = y @ p["wqkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = self._heads(q, B, n)
+        if self_kv is None:
+            k, v = self._heads(k, B, n), self._heads(v, B, n)
+        else:
+            k, v = self_kv
+        att = self._merge(self._mha(q, k, v, self_bias), B, n)
+        x = x + core.linear_apply(p["wo"], att)
+        y = core.layer_norm(x, p["ln2_g"], p["ln2_b"])
+        q = self._heads(y @ p["wq_x"], B, n)
+        ck, cv = cross_kv
+        att = self._merge(self._mha(q, ck, cv, cross_bias), B, n)
+        x = x + core.linear_apply(p["wo_x"], att)
+        y = core.layer_norm(x, p["ln3_g"], p["ln3_b"])
+        y = jax.nn.gelu(y @ p["ffn1"]["w"] + p["ffn1"]["b"])
+        return x + core.linear_apply(p["ffn2"], y)
+
+    # -- state / step (beam-search contract) --------------------------------
+    def init_state(
+        self, batch: int, dtype=jnp.float32, enc_frames: int = None
+    ) -> dict:
+        if enc_frames is None:
+            raise ValueError(
+                "the transformer decoder sizes its KV cache from the "
+                "encoder: pass init_state(..., enc_frames=T)"
+            )
+        hd = self.d // self.num_heads
+        cap = enc_frames
+        state = {"pos": jnp.zeros((batch,), jnp.int32)}
+        for i in range(self.num_layers):
+            state[f"k_{i}"] = jnp.zeros(
+                (batch, self.num_heads, cap, hd), dtype
+            )
+            state[f"v_{i}"] = jnp.zeros(
+                (batch, self.num_heads, cap, hd), dtype
+            )
+        return state
+
+    def step(
+        self,
+        params: dict,
+        prev_ids: jnp.ndarray,  # [B] int32
+        state: dict,
+        encoded: jnp.ndarray,  # [B, T, D]
+        enc_mask: jnp.ndarray,  # [B, T]
+        keys=None,  # optional precomputed cross K/V pytree
+    ) -> Tuple[jnp.ndarray, dict]:
+        if keys is None:
+            keys = self.precompute(params, encoded)
+        B = prev_ids.shape[0]
+        cap = state["k_0"].shape[2]
+        pos = state["pos"][0]  # all hypotheses advance in lockstep
+        x = core.embedding_apply(params["embed"], prev_ids)[:, None, :]
+        x = x * jnp.sqrt(jnp.asarray(self.d, x.dtype))
+        x = x + _sinusoidal_pe_at(pos, self.d, x.dtype)[None, None, :]
+        x = x.astype(encoded.dtype)
+        # self-attention sees cache slots [0..pos] (pos = this token)
+        slot_ok = (
+            jnp.arange(cap) <= pos
+        )  # [cap]
+        self_bias = jnp.where(slot_ok, 0.0, -1e9).astype(jnp.float32)[
+            None, None, None, :
+        ]
+        cross_bias = jnp.where(enc_mask, 0.0, -1e9).astype(jnp.float32)[
+            :, None, None, :
+        ]
+        new_state = {"pos": state["pos"] + 1}
+        for i in range(self.num_layers):
+            p = params[f"block_{i}"]
+            # compute this token's self K/V from the pre-normed input
+            y = core.layer_norm(x, p["ln1_g"], p["ln1_b"])
+            qkv = y @ p["wqkv"]
+            _, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+            k_cache = jax.lax.dynamic_update_slice(
+                state[f"k_{i}"], self._heads(k_new, B, 1),
+                (0, 0, pos, 0),
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                state[f"v_{i}"], self._heads(v_new, B, 1),
+                (0, 0, pos, 0),
+            )
+            new_state[f"k_{i}"] = k_cache
+            new_state[f"v_{i}"] = v_cache
+            x = self._block(
+                p, x, self_bias, keys[f"block_{i}"], cross_bias,
+                self_kv=(k_cache, v_cache),
+            )
+        x = core.layer_norm(x, params["ln_out_g"], params["ln_out_b"])
+        logits = core.linear_apply(params["out"], x)[:, 0, :]
+        return logits, new_state
+
+    # -- teacher-forced training pass ---------------------------------------
+    def apply(
+        self,
+        params: dict,
+        encoded: jnp.ndarray,  # [B, T, D]
+        enc_lengths: jnp.ndarray,  # [B]
+        targets: jnp.ndarray,  # [B, L]
+        target_lengths: jnp.ndarray,  # [B]
+        train: bool = False,
+        rng=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (logits [B, L+1, V+1], logit_lengths): one parallel
+        pass — position t attends causally over inputs [sos; targets]
+        up to t and predicts target t (position L predicts <eos>)."""
+        B, L = targets.shape
+        T = encoded.shape[1]
+        n = L + 1
+        sos = jnp.full((B, 1), self.sos_id, targets.dtype)
+        inputs = jnp.concatenate([sos, targets], axis=1)  # [B, n]
+        x = core.embedding_apply(params["embed"], inputs)
+        x = x * jnp.sqrt(jnp.asarray(self.d, x.dtype))
+        x = (x + _sinusoidal_pe_rows(n, self.d, x.dtype)[None]).astype(
+            encoded.dtype
+        )
+        causal = jnp.tril(jnp.ones((n, n), bool))
+        self_bias = jnp.where(causal, 0.0, -1e9).astype(jnp.float32)[
+            None, None, :, :
+        ]
+        enc_mask = sequence_mask(enc_lengths, T)
+        cross_bias = jnp.where(enc_mask, 0.0, -1e9).astype(jnp.float32)[
+            :, None, None, :
+        ]
+        drop = train and self.dropout > 0.0 and rng is not None
+        for i in range(self.num_layers):
+            p = params[f"block_{i}"]
+            cross_kv = self._cross_kv(p, encoded)
+            x = self._block(p, x, self_bias, cross_kv, cross_bias)
+            if drop:
+                rng, sub = jax.random.split(rng)
+                x = core.dropout(sub, x, self.dropout, train)
+        x = core.layer_norm(x, params["ln_out_g"], params["ln_out_b"])
+        logits = core.linear_apply(params["out"], x)
+        return logits, target_lengths + 1
+
+
+def _sinusoidal_pe_rows(n: int, d: int, dtype) -> jnp.ndarray:
+    """Sinusoidal positions [n, d] (same formula as the encoders')."""
+    from nabu_tpu.models.encoders import _sinusoidal_pe
+
+    return _sinusoidal_pe(n, d, dtype)
+
+
+def _sinusoidal_pe_at(pos, d: int, dtype) -> jnp.ndarray:
+    """One sinusoidal position row [d] at a traced position."""
+    dim = jnp.arange(0, d, 2, dtype=jnp.float32)[None, :]
+    angle = pos.astype(jnp.float32) / jnp.power(10000.0, dim / d)
+    pe = jnp.zeros((1, d), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angle))
+    pe = pe.at[:, 1::2].set(jnp.cos(angle[:, : (d // 2)]))
+    return pe[0].astype(dtype)
+
+
 def build_decoder(conf: Conf, encoder_dim: int, num_labels: int) -> Decoder:
     """Factory by conf['decoder'] (reference: ed_decoder_factory.py)."""
     return DECODERS.build(

@@ -315,6 +315,101 @@ class TestBeamRecognizers:
             assert ((ids >= 0) & (ids < 4)).all()
 
 
+class TestTransformerDecoderBeam:
+    """The transformer decoder rides the same beam machinery as the
+    Speller (its KV caches are just more state leaves): wide beam must
+    find the enumeration optimum, and the recognizer path must work."""
+
+    def _model(self):
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+
+        cfg = ConfigFile({
+            "encoder": Conf(
+                {"encoder": "dblstm", "num_layers": "1", "num_units": "8"},
+                "encoder",
+            ),
+            "decoder": Conf({
+                "decoder": "transformer", "num_layers": "1",
+                "num_units": "8", "num_heads": "2", "ffn_dim": "16",
+            }, "decoder"),
+        })
+        model = build_model(cfg, input_dim=6, num_labels=3)
+        return model, model.init(jax.random.PRNGKey(5))
+
+    def test_wide_beam_finds_enumeration_optimum(self):
+        from nabu_tpu.ops.masking import sequence_mask
+
+        model, params = self._model()
+        dec = model.decoders["decoder"]
+        dparams = params["decoders"]["decoder"]
+        rng = np.random.default_rng(7)
+        feats = jnp.asarray(rng.standard_normal((1, 8, 6)), jnp.float32)
+        flen = jnp.array([8], jnp.int32)
+        encoded, enc_len = model.encode(params, feats, flen)
+        T = encoded.shape[1]
+        mask = sequence_mask(enc_len, T)
+        max_steps = 3
+        V = dec.output_dim
+        eos = dec.eos_id
+
+        def score_seq(seq):
+            """sum log p(tokens) + log p(eos | seq) via step()."""
+            state = dec.init_state(1, encoded.dtype, enc_frames=T)
+            prev = jnp.array([dec.sos_id], jnp.int32)
+            total = 0.0
+            for tok in list(seq) + [eos]:
+                logits, state = dec.step(
+                    dparams, prev, state, encoded, mask
+                )
+                lp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), -1
+                )[0, tok]
+                total += float(lp)
+                prev = jnp.array([tok], jnp.int32)
+                if tok == eos:
+                    break
+            return total
+
+        best_score, best_seq = -np.inf, ()
+        for n in range(max_steps + 1):
+            for seq in itertools.product(range(dec.num_labels), repeat=n):
+                sc = score_seq(seq)
+                if sc > best_score:
+                    best_score, best_seq = sc, seq
+
+        seqs, lengths, scores = attention_beam_search(
+            dec, dparams, encoded, enc_len,
+            beam_width=32, max_steps=max_steps,
+        )
+        got = tuple(
+            int(x) for x in np.asarray(seqs[0, 0][: int(lengths[0, 0])])
+        )
+        assert got == best_seq, (got, best_seq)
+        np.testing.assert_allclose(
+            float(scores[0, 0]), best_score, rtol=1e-4, atol=1e-4
+        )
+
+    def test_recognizer_path(self):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.decoding.recognizers import build_recognizer
+
+        model, params = self._model()
+        rec = build_recognizer(
+            Conf({
+                "recognizer": "attention_beam", "head": "decoder",
+                "beam_width": "4", "nbest": "2", "max_steps": "6",
+            }),
+            model,
+        )
+        feats = np.random.default_rng(8).standard_normal(
+            (2, 12, 6)
+        ).astype(np.float32)
+        out = rec(params, feats, np.array([12, 7]))
+        assert out.ids.shape == (2, 2, 6)
+        assert (out.scores[:, 0] >= out.scores[:, 1] - 1e-5).all()
+
+
 class TestBf16Decode:
     """Regression: bf16 compute_dtype must not break the autoregressive
     decoders (beam/greedy states mix model-cast and raw params)."""

@@ -676,6 +676,116 @@ class TestConformerEncoder:
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestTransformerDecoder:
+    """Beyond-parity transformer attention decoder: the parallel
+    teacher-forced pass must equal the KV-cached autoregressive step
+    loop exactly; encoder padding must not leak; it must compose in
+    the model container (CE loss, grads)."""
+
+    def _dec(self, **over):
+        from nabu_tpu.config import Conf
+        from nabu_tpu.models.decoders import build_decoder
+
+        conf = {"decoder": "transformer", "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32"}
+        conf.update({k: str(v) for k, v in over.items()})
+        return build_decoder(Conf(conf, "d"), encoder_dim=12,
+                             num_labels=5)
+
+    def _data(self, B=3, T=9, D=12, L=4, seed=0):
+        rng = np.random.default_rng(seed)
+        enc = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+        enc_len = jnp.array([9, 6, 4], jnp.int32)[:B]
+        tgt = jnp.asarray(rng.integers(0, 5, (B, L)), jnp.int32)
+        tgt_len = jnp.array([4, 3, 2], jnp.int32)[:B]
+        return enc, enc_len, tgt, tgt_len
+
+    def test_parallel_equals_step_loop(self):
+        from nabu_tpu.ops.masking import sequence_mask
+
+        dec = self._dec()
+        params = dec.init(jax.random.PRNGKey(0))
+        enc, enc_len, tgt, tgt_len = self._data()
+        B, T = enc.shape[:2]
+        L = tgt.shape[1]
+        logits_par, ll = dec.apply(params, enc, enc_len, tgt, tgt_len)
+        assert logits_par.shape == (B, L + 1, 6)
+        np.testing.assert_array_equal(np.asarray(ll), np.asarray(tgt_len) + 1)
+
+        mask = sequence_mask(enc_len, T)
+        keys = dec.precompute(params, enc)
+        state = dec.init_state(B, enc.dtype, enc_frames=T)
+        inputs = jnp.concatenate(
+            [jnp.full((B, 1), dec.sos_id, jnp.int32), tgt], 1
+        )
+        outs = []
+        for t in range(L + 1):
+            lg, state = dec.step(
+                params, inputs[:, t], state, enc, mask, keys=keys
+            )
+            outs.append(lg)
+        np.testing.assert_allclose(
+            np.asarray(logits_par), np.asarray(jnp.stack(outs, 1)),
+            rtol=1e-5, atol=2e-6,
+        )
+
+    def test_encoder_padding_cannot_leak(self):
+        dec = self._dec()
+        params = dec.init(jax.random.PRNGKey(1))
+        enc, enc_len, tgt, tgt_len = self._data(seed=1)
+        l1, _ = dec.apply(params, enc, enc_len, tgt, tgt_len)
+        enc2 = np.asarray(enc).copy()
+        enc2[1, 6:] = 50.0  # beyond enc_len[1]=6
+        enc2[2, 4:] = -50.0
+        l2, _ = dec.apply(params, jnp.asarray(enc2), enc_len, tgt, tgt_len)
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-6
+        )
+
+    def test_composes_in_container_with_joint_ctc(self):
+        from nabu_tpu.config import Conf, ConfigFile
+        from nabu_tpu.models.model import build_model
+        from nabu_tpu.ops.losses import make_loss_computer
+
+        cfg = ConfigFile({
+            "model": Conf({"decoders": "att ctc"}, "model"),
+            "encoder": Conf({
+                "encoder": "transformer", "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+            }, "encoder"),
+            "att": Conf({
+                "decoder": "transformer", "num_layers": "2",
+                "num_units": "16", "num_heads": "2", "ffn_dim": "32",
+                "loss": "cross_entropy", "label_smoothing": "0.1",
+                "loss_weight": "0.7", "dropout": "0.1",
+            }, "att"),
+            "ctc": Conf({
+                "decoder": "linear_ctc", "loss": "ctc",
+                "loss_weight": "0.3",
+            }, "ctc"),
+        })
+        model = build_model(cfg, input_dim=6, num_labels=5)
+        loss_fn = make_loss_computer(model)
+        params = model.init(jax.random.PRNGKey(2))
+        rng = np.random.default_rng(2)
+        batch = {
+            "features": jnp.asarray(
+                rng.standard_normal((2, 12, 6)), jnp.float32
+            ),
+            "feature_lengths": jnp.array([12, 8], jnp.int32),
+            "targets": jnp.asarray(rng.integers(0, 5, (2, 4)), jnp.int32),
+            "target_lengths": jnp.array([4, 2], jnp.int32),
+            "example_mask": jnp.ones((2,), jnp.float32),
+        }
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, jax.random.PRNGKey(3), True),
+            has_aux=True,
+        )(params)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
 class TestMoE:
     """Expert-choice mixture-of-experts FFN (moe_experts > 0): exact
     reduction to the dense FFN at E=1/full capacity, brute-force
