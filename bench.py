@@ -190,6 +190,174 @@ def time_train_step(loss_fn, params, batch, steps, warmup=2):
     return time.perf_counter() - t0, final_loss
 
 
+def step_flops(arch, batch):
+    """FLOPs of one optimizer step from XLA's HLO cost model.
+
+    Counted on the Pallas-free fp32 oracle graph of the same
+    architecture (identical matmul work — a Pallas custom call would
+    count as zero flops), lowered only (never executed/compiled to a
+    device), with fully abstract inputs so nothing touches the chip.
+    Returns None when the cost model is unavailable.
+    """
+    import jax
+    import numpy as np
+    import optax
+
+    try:
+        model, loss_fn = build_model_and_loss(False, False, "float32", arch)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+
+        def train_step(params, opt_state, batch, seed):
+            key = jax.random.PRNGKey(seed)
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch, key, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params_abs = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+        opt_abs = jax.eval_shape(tx.init, params_abs)
+        batch_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+        )
+        seed_abs = jax.ShapeDtypeStruct((), np.int32)
+        lowered = jax.jit(train_step).lower(
+            params_abs, opt_abs, batch_abs, seed_abs
+        )
+        cost = lowered.cost_analysis() or {}
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def device_peak_flops():
+    """bf16 peak FLOP/s of one chip, by device kind (public specs).
+    None when unknown (e.g. CPU) — MFU is then omitted."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+        "v6": 918e12, "trillium": 918e12,
+        "v4": 275e12, "v3": 123e12, "v2": 45e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return None
+
+
+def time_loader_train(model, loss_fn, B, T, F, repeats, num_buckets=4,
+                      batches_per_epoch=16, frame_shift=0.01):
+    """Steady-state trainer throughput through the REAL input path.
+
+    Unlike time_train_step (a device-resident full-length batch — a
+    zero-padding-waste upper bound), this drives the BucketedLoader +
+    prefetch thread over a synthetic realistic utterance-length
+    distribution, so the figure includes bucket padding waste, fill
+    examples, host batch assembly and host->device transfer overlap —
+    i.e. what a real `run train` epoch sustains. Returns
+    (audio_s_per_s, padding_waste_frac).
+    """
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from nabu_tpu.data.pipeline import (
+        BucketedLoader, batch_to_arrays, prefetch,
+    )
+    from nabu_tpu.data.storage import ShardWriter, ShardedDataset
+
+    rng = np.random.default_rng(1)
+    tmp = tempfile.mkdtemp(prefix="nabu_bench_loader_")
+    try:
+        fw = ShardWriter(f"{tmp}/f")
+        tw = ShardWriter(f"{tmp}/t")
+        n_utts = batches_per_epoch * B
+        for i in range(n_utts):
+            # lognormal utterance lengths, clipped to [0.15T, T]: a
+            # WSJ-like long-tailed mix of short and long utterances
+            Ti = int(np.clip(
+                rng.lognormal(np.log(T * 0.55), 0.45), T * 0.15, T
+            ))
+            Li = max(2, Ti // 12)
+            fw.write(
+                f"u{i:05d}",
+                rng.standard_normal((Ti, F)).astype(np.float32),
+            )
+            tw.write(f"u{i:05d}", rng.integers(0, 31, Li).astype(np.int32))
+        fw.close()
+        tw.close({"num_labels": 31})
+        loader = BucketedLoader(
+            ShardedDataset(f"{tmp}/f"), ShardedDataset(f"{tmp}/t"),
+            batch_size=B, num_buckets=num_buckets,
+        )
+
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+
+        @jax.jit
+        def step(params, opt_state, batch, key):
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch, key, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def sync(params, loss):
+            leaf = jax.tree.leaves(params)[0]
+            return float(jnp.sum(leaf)), float(loss)
+
+        def stream(ep):
+            # same contract as trainer.device_stream: the prefetch
+            # thread overlaps host assembly + transfer with compute
+            for b in loader.epoch(ep, shuffle=True):
+                arrays = jax.tree.map(jnp.asarray, batch_to_arrays(b))
+                padded = b.features.shape[0] * b.features.shape[1]
+                yield arrays, b.num_audio_frames, padded
+
+        def run_epoch(params, opt_state, ep, key):
+            audio_frames = 0
+            padded_frames = 0
+            loss = None
+            t0 = time.perf_counter()
+            for arrays, frames, padded in prefetch(stream(ep)):
+                params, opt_state, loss = step(
+                    params, opt_state, arrays, key
+                )
+                audio_frames += frames
+                padded_frames += padded
+            sync(params, loss)
+            return (
+                params, opt_state,
+                time.perf_counter() - t0,
+                audio_frames, padded_frames,
+            )
+
+        params = model.init(jax.random.PRNGKey(0))
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(0)
+        # epoch 0 warms every bucket-shape compile; epochs 1.. are timed
+        params, opt_state, _, _, _ = run_epoch(params, opt_state, 0, key)
+        rates, wastes = [], []
+        for ep in range(1, max(repeats, 1) + 1):
+            params, opt_state, elapsed, frames, padded = run_epoch(
+                params, opt_state, ep, key
+            )
+            rates.append(frames * frame_shift / elapsed)
+            wastes.append(1.0 - frames / max(padded, 1))
+        return (
+            sorted(rates)[len(rates) // 2],
+            float(np.mean(wastes)),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def naive_lstm_scan(p, x, lengths, reverse=False, forget_bias=1.0, unroll=1):
     """Per-step input projection inside the scan (the naive translation)."""
     import jax
@@ -347,9 +515,17 @@ def main():
                         help="bfloat16 compute dtype")
     parser.add_argument("--scan_layers",
                         action=argparse.BooleanOptionalAction,
-                        default=False,
+                        default=None,
                         help="lax.scan over transformer/conformer blocks "
-                        "(one traced block: ~depth-x smaller HLO/compile)")
+                        "(one traced block: ~depth-x smaller HLO/compile); "
+                        "default ON for the attention encoders (matches "
+                        "the committed recipes), off otherwise")
+    parser.add_argument("--loader", action="store_true",
+                        help="ALSO measure steady-state throughput "
+                        "through the real BucketedLoader + prefetch path "
+                        "over a realistic length distribution (includes "
+                        "bucket padding waste) — reported as "
+                        "loader_value in the same JSON line")
     args = parser.parse_args()
 
     import jax
@@ -366,6 +542,12 @@ def main():
     rng = np.random.default_rng(0)
     batch = make_batch(B, T, F, L, rng)
 
+    if args.scan_layers is None:
+        # the committed attention-encoder recipes default scan_layers on
+        # (compile time ~depth-x smaller, numerics identical)
+        args.scan_layers = args.model in (
+            "transformer", "conformer", "moe_conformer", "conformer_rnnt"
+        )
     model, loss_fn = build_model_and_loss(
         args.pallas_lstm, args.pallas_ctc,
         "bfloat16" if args.bf16 else "float32", args.model,
@@ -431,12 +613,33 @@ def main():
         finally:
             core.lstm_scan = orig
 
-    print(json.dumps({
+    record = {
         "metric": "train_audio_seconds_per_second_per_chip",
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+
+    # quantified utilization: FLOPs/step from XLA's HLO cost model on
+    # the oracle graph, achieved TFLOP/s from the measured throughput,
+    # MFU against the chip's bf16 peak (device_peak_flops)
+    flops = step_flops(args.model, batch)
+    if flops:
+        steps_per_s = value / (B * T * frame_shift)
+        record["flops_per_step"] = round(flops)
+        record["tflops_per_s"] = round(flops * steps_per_s / 1e12, 2)
+        peak = device_peak_flops()
+        if peak:
+            record["mfu"] = round(flops * steps_per_s / peak, 4)
+
+    if args.loader:
+        loader_value, waste = time_loader_train(
+            model, loss_fn, B, T, F, args.repeats
+        )
+        record["loader_value"] = round(loader_value, 2)
+        record["padding_waste"] = round(waste, 4)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

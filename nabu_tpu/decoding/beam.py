@@ -65,14 +65,15 @@ def attention_beam_search(
     V = decoder.output_dim
     eos = decoder.eos_id
 
-    # tile encoder outputs over the beam axis once
-    enc_flat = jnp.repeat(encoded, W, axis=0)  # [B*W, T, D]
-    mask_flat = jnp.repeat(
-        sequence_mask(enc_lengths, T), W, axis=0
-    )  # [B*W, T]
+    # encoder outputs / masks / attention keys are SHARED across the
+    # beam (never tiled W-fold into HBM): decoder.step broadcasts a
+    # [B*W]-hypothesis query over the [B]-utterance encoding, mapping
+    # hypothesis w of utterance b to row b*W + w — exactly this file's
+    # flattening order
+    enc_mask = sequence_mask(enc_lengths, T)  # [B, T]
     # attention keys are step-invariant: project once, not per step
-    keys_flat = (
-        decoder.precompute(dparams, enc_flat)
+    enc_keys = (
+        decoder.precompute(dparams, encoded)
         if hasattr(decoder, "precompute") else None
     )
 
@@ -106,9 +107,9 @@ def attention_beam_search(
             dparams,
             s["prev"].reshape(B * W),
             flat_state,
-            enc_flat,
-            mask_flat,
-            keys=keys_flat,
+            encoded,
+            enc_mask,
+            keys=enc_keys,
         )
         new_state.pop("attn_weights", None)
         new_state = jax.tree.map(

@@ -150,11 +150,12 @@ def joint_ctc_att_beam_search(
     K = min(pre_beam or max(int(1.5 * W), 2), V - 1)
     aw, cw = 1.0 - ctc_weight, ctc_weight
 
-    enc_flat = jnp.repeat(encoded, W, axis=0)
+    # encoder outputs / masks / attention keys shared across the beam
+    # (not tiled W-fold): decoder.step broadcasts the [B*W] query over
+    # the [B] encoding (see decoding/beam.py and Speller._attend)
     enc_mask = sequence_mask(enc_lengths, T)
-    mask_flat = jnp.repeat(enc_mask, W, axis=0)
-    keys_flat = (
-        decoder.precompute(dparams, enc_flat)
+    enc_keys = (
+        decoder.precompute(dparams, encoded)
         if hasattr(decoder, "precompute") else None
     )
     fuse = lm is not None and lm_weight != 0.0
@@ -195,8 +196,8 @@ def joint_ctc_att_beam_search(
             lambda x: x.reshape((B * W,) + x.shape[2:]), s["att"]
         )
         logits, new_att = decoder.step(
-            dparams, s["prev"].reshape(B * W), flat_att, enc_flat,
-            mask_flat, keys=keys_flat,
+            dparams, s["prev"].reshape(B * W), flat_att, encoded,
+            enc_mask, keys=enc_keys,
         )
         new_att.pop("attn_weights", None)
         new_att = jax.tree.map(

@@ -189,18 +189,35 @@ class Speller(Decoder):
     # -- attention -------------------------------------------------------
     def _attend(self, params, h_top, keys, encoded, enc_mask,
                 prev_weights=None):
-        """keys = precomputed W_enc @ encoded [B, T, A]."""
+        """keys = precomputed W_enc @ encoded [Be, T, A].
+
+        Beam sharing: the query batch Bq may be an integer multiple
+        W = Bq / Be of the encoder batch Be (a [B, W] beam flattened to
+        B*W hypotheses over one encoding per utterance). encoded / keys
+        / enc_mask then stay at [Be, ...] — never tiled W-fold into HBM
+        — and the score/context einsums carry the beam on a separate
+        axis. Hypothesis w of utterance b must sit at row b * W + w.
+        """
+        Bq = h_top.shape[0]
+        Be = encoded.shape[0]
+        W = Bq // Be
+        q = core.linear_apply(params["attn_state"], h_top)  # [Bq, A]
         if self.attention == "dot":
-            q = core.linear_apply(params["attn_state"], h_top)  # [B, A]
-            scores = jnp.einsum("bta,ba->bt", keys, q) / jnp.sqrt(
-                jnp.asarray(self.attn_dim, h_top.dtype)
-            )
+            scale = jnp.sqrt(jnp.asarray(self.attn_dim, h_top.dtype))
+            if W == 1:
+                scores = jnp.einsum("bta,ba->bt", keys, q) / scale
+            else:
+                scores = jnp.einsum(
+                    "bta,bwa->bwt", keys, q.reshape(Be, W, -1)
+                ) / scale  # [Be, W, T]
         else:  # bahdanau / location
-            q = core.linear_apply(params["attn_state"], h_top)  # [B, A]
-            e = keys + q[:, None, :]  # [B, T, A]
+            if W == 1:
+                e = keys + q[:, None, :]  # [Be, T, A]
+            else:
+                e = keys[:, None] + q.reshape(Be, W, 1, -1)  # [Be,W,T,A]
             if self.attention == "location":
-                # 1-D conv over the previous step's attention weights:
-                # [B, T, 1] -> [B, T, F] (SAME padding keeps T)
+                # 1-D conv over the previous step's attention weights
+                # (per hypothesis): [Bq, T, 1] -> [Bq, T, F]
                 f = jax.lax.conv_general_dilated(
                     prev_weights[..., None].astype(e.dtype),
                     params["attn_loc"]["conv"].astype(e.dtype),
@@ -208,13 +225,25 @@ class Speller(Decoder):
                     padding="SAME",
                     dimension_numbers=("NWC", "WIO", "NWC"),
                 )
-                e = e + core.linear_apply(params["attn_loc"]["proj"], f)
+                loc = core.linear_apply(params["attn_loc"]["proj"], f)
+                e = e + (loc if W == 1 else loc.reshape(Be, W, *loc.shape[1:]))
             scores = jnp.squeeze(
                 jnp.tanh(e) @ params["attn_v"]["v"], -1
-            )  # [B, T]
-        weights = jax.nn.softmax(mask_logits(scores, enc_mask), axis=-1)
-        context = jnp.einsum("bt,btd->bd", weights, encoded)
-        return context, weights
+            )  # [Be, T] or [Be, W, T]
+        if W == 1:
+            weights = jax.nn.softmax(
+                mask_logits(scores, enc_mask), axis=-1
+            )
+            context = jnp.einsum("bt,btd->bd", weights, encoded)
+            return context, weights
+        weights = jax.nn.softmax(
+            mask_logits(scores, enc_mask[:, None, :]), axis=-1
+        )  # [Be, W, T]
+        context = jnp.einsum("bwt,btd->bwd", weights, encoded)
+        return (
+            context.reshape(Bq, -1),
+            weights.reshape(Bq, -1),
+        )
 
     def precompute(self, params, encoded):
         """Step-invariant attention keys (W_enc @ encoded), computed
@@ -430,7 +459,24 @@ class TransformerDecoder(Decoder):
         y = core.layer_norm(x, p["ln2_g"], p["ln2_b"])
         q = self._heads(y @ p["wq_x"], B, n)
         ck, cv = cross_kv
-        att = self._merge(self._mha(q, ck, cv, cross_bias), B, n)
+        Be = ck.shape[0]
+        if Be != B:
+            # beam-shared encoder: B = Be * W hypotheses attend over one
+            # un-tiled encoding per utterance. Only the step path (n=1)
+            # lands here; fold the W beams into the query-position axis.
+            W = B // Be
+            q = q.reshape(Be, W, self.num_heads, 1, -1)
+            q = q.transpose(0, 2, 1, 3, 4).reshape(
+                Be, self.num_heads, W, -1
+            )
+            att = self._mha(q, ck, cv, cross_bias)  # [Be, H, W, hd]
+            att = att.reshape(Be, self.num_heads, W, 1, -1)
+            att = att.transpose(0, 2, 1, 3, 4).reshape(
+                B, self.num_heads, 1, -1
+            )
+            att = self._merge(att, B, n)
+        else:
+            att = self._merge(self._mha(q, ck, cv, cross_bias), B, n)
         x = x + core.linear_apply(p["wo_x"], att)
         y = core.layer_norm(x, p["ln3_g"], p["ln3_b"])
         y = jax.nn.gelu(y @ p["ffn1"]["w"] + p["ffn1"]["b"])

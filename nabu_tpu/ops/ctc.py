@@ -4,12 +4,20 @@ Capability parity with the reference's CTC loss computer (tf.nn.ctc_loss
 over sparse targets built with dense_sequence_to_sparse). Here targets
 stay densely padded; static shapes throughout (SURVEY.md §7 hard part 1).
 This is the oracle for the fused Pallas kernel in
-nabu_tpu.ops.pallas.ctc; gradients come from autodiff through the scan
+nabu_tpu.ops.pallas.ctc_batched; gradients come from autodiff through the scan
 (the Pallas path uses the alpha-beta posterior formula).
 
 Blank convention: configurable ``blank_id``; the framework's CTC head
 uses blank = num_labels (last index, TF convention), so label ids never
 shift.
+
+Infeasible alignments (logit_len < label_len + required blanks between
+adjacent repeats — possible after ``max_target_length`` truncation or
+pyramid subsampling) get a CLAMPED per-example NLL of ``CTC_NLL_CLAMP``
+with zero gradient, so one poisoned example cannot destroy the loss
+metric or dominate the clipped gradient direction. ``ctc_feasible``
+exposes the exact feasibility predicate so loss computers can zero such
+examples out and report an ``ctc_infeasible_frac`` metric.
 """
 
 from __future__ import annotations
@@ -18,6 +26,28 @@ import jax
 import jax.numpy as jnp
 
 from nabu_tpu.ops.masking import NEG_INF, sequence_mask
+
+# Per-example NLL ceiling. Any real alignment's NLL is O(T * log V);
+# this bound is far above every benchmark config yet keeps an
+# infeasible example's contribution finite and its gradient zero.
+CTC_NLL_CLAMP = 1.0e4
+
+
+def ctc_feasible(
+    logit_lengths: jnp.ndarray,  # [B]
+    labels: jnp.ndarray,  # [B, L]
+    label_lengths: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """[B] bool: a CTC alignment exists.
+
+    Feasible iff logit_len >= label_len + (# adjacent repeated labels),
+    since each repeat needs a mandatory blank between its frames.
+    """
+    L = labels.shape[1]
+    valid = jnp.arange(L)[None, :] < label_lengths[:, None]
+    rep = (labels[:, 1:] == labels[:, :-1]) & valid[:, 1:] & valid[:, :-1]
+    need = label_lengths + rep.sum(axis=1).astype(label_lengths.dtype)
+    return logit_lengths >= need
 
 
 def _logaddexp3(a, b, c):
@@ -90,8 +120,8 @@ def ctc_loss(
     """Per-example negative log likelihood, [B].
 
     Requires logit_lengths >= 1. Examples whose alignment is impossible
-    (logit_len < label_len, ignoring required blanks) get a large finite
-    loss rather than inf.
+    (see ``ctc_feasible``) get a clamped loss of ``CTC_NLL_CLAMP`` with
+    zero gradient rather than an astronomically large finite value.
     """
     B, T, V = logits.shape
     if blank_id is None:
@@ -113,7 +143,8 @@ def ctc_loss(
     )[:, 0]
     a_label = jnp.where(label_lengths > 0, a_label, NEG_INF)
     ll = jnp.logaddexp(a_blank, a_label)
-    return -jnp.maximum(ll, NEG_INF * 0.5)
+    # max() stops gradient flow whenever the clamp binds
+    return -jnp.maximum(ll, -CTC_NLL_CLAMP)
 
 
 def ctc_greedy_collapse(

@@ -32,8 +32,17 @@ def ctc_loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Mean per-example CTC negative log likelihood. ``use_pallas``
     switches to the fused forward-backward kernel
-    (nabu_tpu.ops.pallas.ctc)."""
+    (nabu_tpu.ops.pallas.ctc_batched).
+
+    Examples with no feasible alignment (target longer than the logit
+    sequence allows — truncation/subsampling artifacts) are excluded
+    from the loss mean entirely and counted in ``ctc_infeasible_frac``,
+    so a poisoned batch trains on its healthy examples.
+    """
     del label_smoothing  # not applicable to CTC
+    feasible = ctc_ops.ctc_feasible(
+        logit_lengths, targets, target_lengths
+    ).astype(example_mask.dtype)
     if use_pallas:
         from nabu_tpu.ops.pallas.ctc_batched import (
             ctc_loss_pallas_batched as ctc_loss_pallas,
@@ -48,12 +57,17 @@ def ctc_loss_fn(
         nll = ctc_ops.ctc_loss(
             logits, logit_lengths, targets, target_lengths, blank_id
         )  # [B]
-    denom = jnp.maximum(example_mask.sum(), 1.0)
-    loss = jnp.sum(nll * example_mask) / denom
-    frames = jnp.maximum(
-        jnp.sum(logit_lengths * example_mask), 1.0
-    )
-    return loss, {"ctc_nll_per_frame": jnp.sum(nll * example_mask) / frames}
+    real = jnp.maximum(example_mask.sum(), 1.0)
+    mask = example_mask * feasible
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = jnp.sum(nll * mask) / denom
+    frames = jnp.maximum(jnp.sum(logit_lengths * mask), 1.0)
+    return loss, {
+        "ctc_nll_per_frame": jnp.sum(nll * mask) / frames,
+        "ctc_infeasible_frac": jnp.sum(
+            example_mask * (1.0 - feasible)
+        ) / real,
+    }
 
 
 @LOSSES.register("cross_entropy")

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nabu_tpu.ops.ctc import extended_labels
+from nabu_tpu.ops.ctc import CTC_NLL_CLAMP, extended_labels
 from nabu_tpu.ops.masking import NEG_INF
 from nabu_tpu.ops.pallas import on_tpu
 
@@ -212,7 +212,9 @@ def _ctc_forward(logprobs, logit_lengths, labels, label_lengths, blank_id,
         axis=1,
     )[:, 0]
     a_label = jnp.where(label_lengths > 0, a_label, NEG_INF)
-    ll = jnp.maximum(jnp.logaddexp(a_blank, a_label), NEG_INF * 0.5)
+    # infeasible alignments clamp to a sane finite NLL (ops/ctc.py
+    # convention: CTC_NLL_CLAMP, zero gradient via the _bwd gate)
+    ll = jnp.maximum(jnp.logaddexp(a_blank, a_label), -CTC_NLL_CLAMP)
 
     # backward / posteriors
     beta_init = jnp.where(
@@ -276,7 +278,10 @@ def _bwd(blank_id, interpret, residuals, g):
     time_mask = (
         jnp.arange(T)[None, :] < logit_lengths[:, None]
     )[..., None]
-    feasible = (ll > NEG_INF * 0.4)[:, None, None]
+    # the clamp in _ctc_forward maps every infeasible example to exactly
+    # -CTC_NLL_CLAMP; real alignments that deep into the tail are
+    # clamped too, so gating here keeps fwd/bwd consistent
+    feasible = (ll > -CTC_NLL_CLAMP + 1.0)[:, None, None]
     dlogits = jnp.where(
         time_mask & feasible, jnp.exp(logprobs) - post_vocab, 0.0
     )

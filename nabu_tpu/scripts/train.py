@@ -90,24 +90,30 @@ def main(
         num_hosts=num_hosts,
     )
 
-    valid_fn = None
-    if recipe.has("validation_evaluator"):
-        vconf = recipe.validation_evaluator.section("evaluator")
-        vloader, _, _ = make_loader(
-            recipe,
-            expdir,
-            vconf,
-            batch_size=vconf.getint("batch_size", batch_size),
-            num_buckets=vconf.getint("num_buckets", 2),
-        )
-        valid_fn = build_evaluator(vconf, model, vloader)
-
     mesh = make_mesh(
         num_model=num_model_parallel,
         num_expert=num_expert_parallel,
         num_pipe=num_pipeline,
         num_seq=num_seq_parallel,
     )
+
+    valid_fn = None
+    if recipe.has("validation_evaluator"):
+        vconf = recipe.validation_evaluator.section("evaluator")
+        # dev set is host-sharded like the train set: each host scores
+        # 1/num_hosts of it and the evaluator allgathers the counts, so
+        # validation wall-clock scales down with hosts instead of every
+        # process redundantly decoding the whole set
+        vloader, _, _ = make_loader(
+            recipe,
+            expdir,
+            vconf,
+            batch_size=vconf.getint("batch_size", batch_size),
+            num_buckets=vconf.getint("num_buckets", 2),
+            host_id=host_id,
+            num_hosts=num_hosts,
+        )
+        valid_fn = build_evaluator(vconf, model, vloader, mesh=mesh)
     trainer = build_trainer(
         trainer_conf, model, loader, expdir, valid_fn=valid_fn, mesh=mesh
     )

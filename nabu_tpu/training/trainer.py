@@ -161,8 +161,9 @@ class Trainer:
         self.loss_fn = loss_fn
         # multi-host: only the chief writes metrics/checkpoints (the
         # reference's is_chief=task_index==0 MonitoredTrainingSession
-        # contract); every host still computes validation so early-stop
-        # decisions stay identical across processes
+        # contract); every host runs the (host-sharded, collective)
+        # validation, then the chief's metric is broadcast so stop/
+        # backoff decisions are made exactly once (see _train)
         self.is_chief = jax.process_index() == 0
         # async_checkpoint = true backgrounds the rolling "latest" disk
         # write so the step loop never stalls on IO (finalized before
@@ -423,6 +424,25 @@ class Trainer:
                         ema if ema is not None else params
                     )
                     metric = float(self.valid_fn(valid_params))
+                    if jax.process_count() > 1:
+                        # single-brained early stopping: every stop/
+                        # restore/backoff decision below derives from
+                        # the CHIEF's metric, broadcast to all hosts.
+                        # Without this, a one-ULP cross-host difference
+                        # in a locally computed metric could land on
+                        # opposite sides of best_metric and desynchronize
+                        # the control flow (one host restores best /
+                        # breaks the loop, the others don't -> the next
+                        # collective deadlocks). The reference's
+                        # chief-driven MonitoredTrainingSession had this
+                        # property structurally.
+                        from jax.experimental import multihost_utils
+
+                        metric = float(
+                            multihost_utils.broadcast_one_to_all(
+                                np.float32(metric)
+                            )
+                        )
                     if self.writer:
                         self.writer.write(
                             step, {"metric": metric}, prefix="valid/"
