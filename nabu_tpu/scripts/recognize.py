@@ -48,6 +48,17 @@ def main(
     audio_proc = make_processor(feat_conf)
     text_proc = TextProcessor(tgt_conf)
 
+    # in-graph feature frontend (Pallas STFT+Mel on TPU): the decode
+    # hot loop then contains no host DSP — audio IO aside, everything
+    # from preemphasis to the hypothesis runs on the device. Falls back
+    # to the host computers when the feature config isn't representable
+    # in-graph or device_frontend = false.
+    device_fe = None
+    if rconf.getbool("device_frontend", True):
+        from nabu_tpu.features.jax_frontend import DeviceFrontend
+
+        device_fe = DeviceFrontend.make(feat_conf)
+
     if len(audio) == 1 and audio[0].endswith(".scp"):
         entries = read_datafile(audio[0])
     else:
@@ -72,21 +83,36 @@ def main(
     params = load_best_params(expdir, model)
     recognizer = build_recognizer(rconf, model)
 
+    from nabu_tpu.data import audio_io
+
     results: List[Tuple[str, str]] = []
     for start in range(0, len(entries), batch_size):
         chunk = entries[start: start + batch_size]
-        feats = [features_of(value) for _, value in chunk]
-        # pad T to a bucket edge and the batch to batch_size so the
-        # jitted decode compiles once per bucket, not once per chunk
-        # (the expdir contract everywhere else: static padded shapes)
-        T = max(f.shape[0] for f in feats)
-        T = ((T + _T_BUCKET - 1) // _T_BUCKET) * _T_BUCKET
-        batch = np.zeros((batch_size, T, feats[0].shape[1]), np.float32)
-        lengths = np.zeros((batch_size,), np.int32)
-        for i, f in enumerate(feats):
-            batch[i, : f.shape[0]] = f
-            lengths[i] = f.shape[0]
-        out = recognizer(params, batch, lengths)
+        out = None
+        if device_fe is not None:
+            loaded = [audio_io.load_audio(value) for _, value in chunk]
+            rates = {rate for _, rate in loaded}
+            if len(rates) == 1:  # mixed-rate chunks fall back to host
+                feats_dev, flens = device_fe.batch_features(
+                    [sig for sig, _ in loaded], rates.pop(),
+                    batch_size, _T_BUCKET,
+                )
+                out = recognizer(params, feats_dev, flens)
+        if out is None:
+            feats = [features_of(value) for _, value in chunk]
+            # pad T to a bucket edge and the batch to batch_size so the
+            # jitted decode compiles once per bucket, not once per
+            # chunk (the expdir contract: static padded shapes)
+            T = max(f.shape[0] for f in feats)
+            T = ((T + _T_BUCKET - 1) // _T_BUCKET) * _T_BUCKET
+            batch = np.zeros(
+                (batch_size, T, feats[0].shape[1]), np.float32
+            )
+            lengths = np.zeros((batch_size,), np.int32)
+            for i, f in enumerate(feats):
+                batch[i, : f.shape[0]] = f
+                lengths[i] = f.shape[0]
+            out = recognizer(params, batch, lengths)
         for i, (utt, _) in enumerate(chunk):
             text = text_proc.ids_to_text(out.best(i))
             print(f"{utt} {text}")

@@ -210,6 +210,15 @@ class ExportedModel:
 
         self.audio_proc = make_processor(feat_sec)
         self.text_proc = TextProcessor(tgt_sec)
+        # in-graph frontend (Pallas STFT+Mel on TPU): the serve hot
+        # loop computes features on the device; host computers remain
+        # as the fallback for configs not representable in-graph (or
+        # recognizer.cfg device_frontend = false)
+        self.device_fe = None
+        if rconf.getbool("device_frontend", True):
+            from nabu_tpu.features.jax_frontend import DeviceFrontend
+
+            self.device_fe = DeviceFrontend.make(feat_sec)
         model_cfg = ConfigFile.read(os.path.join(self.dir, "model.cfg"))
         self.model = build_model(
             model_cfg,
@@ -247,7 +256,34 @@ class ExportedModel:
         return out
 
     def recognize_files(self, paths: Sequence[str]) -> List[str]:
-        """Decode audio files (wav/SPHERE/pipes, as in datafiles)."""
+        """Decode audio files (wav/SPHERE/pipes, as in datafiles).
+
+        With the device frontend active, features are computed in-graph
+        on the accelerator (no host DSP in the hot loop)."""
+        if self.device_fe is not None:
+            from nabu_tpu.data import audio_io
+
+            out: List[str] = []
+            B = self.batch_size
+            for start in range(0, len(paths), B):
+                chunk = paths[start: start + B]
+                loaded = [audio_io.load_audio(p) for p in chunk]
+                rates = {rate for _, rate in loaded}
+                if len(rates) != 1:  # mixed-rate batch: host fallback
+                    out.extend(self.recognize_features(
+                        [self.audio_proc.process(p) for p in chunk]
+                    ))
+                    continue
+                feats_dev, flens = self.device_fe.batch_features(
+                    [sig for sig, _ in loaded], rates.pop(), B,
+                    self.T_BUCKET,
+                )
+                res = self.recognizer(self.params, feats_dev, flens)
+                out.extend(
+                    self.text_proc.ids_to_text(res.best(i))
+                    for i in range(len(chunk))
+                )
+            return out
         feats = [self.audio_proc.process(p) for p in paths]
         return self.recognize_features(feats)
 

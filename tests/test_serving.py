@@ -218,3 +218,41 @@ class TestServe:
         want = exported.recognize_files([p for _, p in entries])
         for (utt, _), text, line in zip(entries, want, got):
             assert line == f"{utt} {text}".rstrip()
+
+
+class TestDeviceFrontendServing:
+    def test_device_frontend_matches_host_path(self, trained):
+        """`run recognize` with the in-graph frontend (the default)
+        produces the same hypotheses as the host-DSP fallback — the
+        device==host proof through the FULL recognize path."""
+        root, recipe, expdir, corpus = trained
+        import nabu_tpu.features.jax_frontend as jf
+        from nabu_tpu.scripts import recognize
+
+        entries = _dev_wavs(corpus)
+        paths = [p for _, p in entries]
+        dev = recognize.main(recipe, expdir, paths)
+
+        orig = jf.DeviceFrontend.make.__func__
+        jf.DeviceFrontend.make = classmethod(lambda cls, sec: None)
+        try:
+            host = recognize.main(recipe, expdir, paths)
+        finally:
+            jf.DeviceFrontend.make = classmethod(orig)
+        assert dev == host
+
+    def test_serve_uses_device_frontend(self, trained):
+        """The serve worker answers identically with the device
+        frontend active, and the ExportedModel actually built one."""
+        root, recipe, expdir, corpus = trained
+        from nabu_tpu.serving import export_model, load_exported
+
+        out = export_model(recipe, expdir, str(root / "art_devfe"))
+        exported = load_exported(out)
+        assert exported.device_fe is not None
+        entries = _dev_wavs(corpus)
+        got = exported.recognize_files([p for _, p in entries])
+        # host fallback object for reference
+        exported.device_fe = None
+        want = exported.recognize_files([p for _, p in entries])
+        assert got == want
