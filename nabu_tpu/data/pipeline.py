@@ -172,6 +172,27 @@ class BucketedLoader:
             features[int(self.indices[0])].shape[1]
         )
 
+        # corpus/speaker-level CMVN recorded at prep (`run data` with
+        # global_cmvn = true on the features section): normalization is
+        # applied here at load, per utterance, with speaker stats when
+        # the prep recorded them (cmvn_speaker_separator)
+        meta = features.metadata
+        self._cmvn = None
+        if meta.get("apply_global_cmvn") and meta.get("cmvn"):
+            c = meta["cmvn"]
+            self._cmvn = (
+                np.asarray(c["mean"], np.float32),
+                np.maximum(np.asarray(c["std"], np.float32), 1e-10),
+                {
+                    k: (
+                        np.asarray(v["mean"], np.float32),
+                        np.maximum(np.asarray(v["std"], np.float32), 1e-10),
+                    )
+                    for k, v in c.get("speakers", {}).items()
+                },
+                meta.get("cmvn_speaker_separator"),
+            )
+
     @property
     def num_shapes(self) -> int:
         return len(self.bucket_edges)
@@ -195,10 +216,18 @@ class BucketedLoader:
             gi = int(self.indices[li])
             f = self.features[gi]
             t_len = min(f.shape[0], T)
-            feats[k, :t_len] = f[:t_len]
+            utt = self.features.records[gi]["utt"]
+            if self._cmvn is not None:
+                mean, std, speakers, sep = self._cmvn
+                if sep:
+                    spk = utt.split("#")[0].split(sep)[0]
+                    mean, std = speakers.get(spk, (mean, std))
+                feats[k, :t_len] = (f[:t_len] - mean) / std
+            else:
+                feats[k, :t_len] = f[:t_len]
             feat_len[k] = t_len
             mask[k] = True
-            utts.append(self.features.records[gi]["utt"])
+            utts.append(utt)
         while len(utts) < bsz:
             utts.append("<fill>")
         if has_tgt:

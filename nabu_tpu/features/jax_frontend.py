@@ -187,6 +187,7 @@ def _device_features(
     signals: jnp.ndarray,  # [B, S] zero-padded float32
     slens: jnp.ndarray,  # [B] true sample counts
     n_frames: int,
+    norm,  # None | (mean [dim], std [dim]): corpus/speaker CMVN stats
     *,
     energy: bool,
     dynamic: str,
@@ -254,6 +255,14 @@ def _device_features(
             )
     if mvn:
         feat = _cmvn_masked(feat, flens)
+    if norm is not None:
+        mean, std = norm
+        t_mask = (
+            jnp.arange(n_frames)[None, :] < flens[:, None]
+        )[..., None]
+        feat = jnp.where(
+            t_mask, (feat - mean[None, None]) / std[None, None], 0.0
+        )
     return feat
 
 
@@ -276,6 +285,16 @@ class DeviceFrontend:
         self.computer = make_feature_computer(sec)
         self.feature = sec.get("feature", "fbank")
         self._consts_cache = {}
+        self._norm = None
+
+    def set_normalization(self, mean, std) -> None:
+        """Apply corpus-level CMVN stats (from `run data`) in-graph
+        after feature computation — the serving-side counterpart of the
+        loader's global_cmvn application."""
+        self._norm = (
+            jnp.asarray(mean, jnp.float32),
+            jnp.maximum(jnp.asarray(std, jnp.float32), 1e-10),
+        )
 
     @classmethod
     def make(cls, sec) -> "DeviceFrontend | None":
@@ -342,6 +361,7 @@ class DeviceFrontend:
             jnp.asarray(signals, jnp.float32),
             jnp.asarray(sample_lengths, jnp.int32),
             nf,
+            self._norm,
             energy=c.include_energy,
             dynamic=(c.dynamic or "nodelta").lower(),
             mvn=c.mvn,

@@ -59,6 +59,29 @@ def main(
 
         device_fe = DeviceFrontend.make(feat_conf)
 
+    # corpus-level CMVN (global_cmvn = true at prep): recognition of
+    # raw files must apply the SAME stats training applied at load;
+    # they live in the prepared feature dataset's metadata
+    cmvn_stats = None
+    if feat_conf.getbool("global_cmvn", False):
+        from nabu_tpu.scripts.common import open_dataset
+
+        meta = open_dataset(
+            recipe, expdir, rconf.get("features", "testfeatures")
+        ).metadata
+        c = meta.get("cmvn")
+        if not c:
+            raise ValueError(
+                "global_cmvn = true but the prepared dataset records no "
+                "cmvn stats — re-run `run data`"
+            )
+        cmvn_stats = (
+            np.asarray(c["mean"], np.float32),
+            np.maximum(np.asarray(c["std"], np.float32), 1e-10),
+        )
+        if device_fe is not None:
+            device_fe.set_normalization(*cmvn_stats)
+
     if len(audio) == 1 and audio[0].endswith(".scp"):
         entries = read_datafile(audio[0])
     else:
@@ -70,7 +93,10 @@ def main(
 
     def features_of(value: str) -> np.ndarray:
         if value not in feat_cache:
-            feat_cache[value] = audio_proc.process(value)
+            feat = audio_proc.process(value)
+            if cmvn_stats is not None:
+                feat = (feat - cmvn_stats[0]) / cmvn_stats[1]
+            feat_cache[value] = feat
         return feat_cache[value]
 
     try:

@@ -140,19 +140,32 @@ def export_model(
     ConfigFile({"recognizer": Conf(rconf.as_dict(), "recognizer")}).write(
         os.path.join(out_dir, "recognizer.cfg")
     )
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(
-            {
-                "framework": "nabu_tpu",
-                "input_dim": int(input_dim),
-                "num_labels": int(text_proc.num_labels),
-                "jax_version": jax.__version__,
-                "source_recipe": os.path.abspath(recipe_path),
-                "source_expdir": os.path.abspath(expdir),
-            },
-            f,
-            indent=2,
+    manifest = {
+        "framework": "nabu_tpu",
+        "input_dim": int(input_dim),
+        "num_labels": int(text_proc.num_labels),
+        "jax_version": jax.__version__,
+        "source_recipe": os.path.abspath(recipe_path),
+        "source_expdir": os.path.abspath(expdir),
+    }
+    if feat_sec.getbool("global_cmvn", False):
+        # serving must normalize with the SAME corpus stats training
+        # applied at load; freeze the global stats into the artifact
+        from nabu_tpu.scripts.common import open_dataset
+
+        stats = open_dataset(recipe, expdir, feat_name).metadata.get(
+            "cmvn"
         )
+        if not stats:
+            raise ValueError(
+                "global_cmvn = true but the prepared dataset records "
+                "no cmvn stats — re-run `run data`"
+            )
+        manifest["cmvn"] = {
+            "mean": stats["mean"], "std": stats["std"],
+        }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
     # paths inside the artifact must stay valid after the directory is
     # copied elsewhere: rewrite them relative on a second pass
     _relativize(out_dir)
@@ -219,6 +232,16 @@ class ExportedModel:
             from nabu_tpu.features.jax_frontend import DeviceFrontend
 
             self.device_fe = DeviceFrontend.make(feat_sec)
+        # corpus-level CMVN frozen into the artifact at export
+        self.cmvn = None
+        if self.manifest.get("cmvn"):
+            c = self.manifest["cmvn"]
+            self.cmvn = (
+                np.asarray(c["mean"], np.float32),
+                np.maximum(np.asarray(c["std"], np.float32), 1e-10),
+            )
+            if self.device_fe is not None:
+                self.device_fe.set_normalization(*self.cmvn)
         model_cfg = ConfigFile.read(os.path.join(self.dir, "model.cfg"))
         self.model = build_model(
             model_cfg,
@@ -237,6 +260,10 @@ class ExportedModel:
         self, feats: Sequence[np.ndarray]
     ) -> List[str]:
         """Decode already-computed feature matrices ([T, dim] each)."""
+        if self.cmvn is not None:
+            feats = [
+                (f - self.cmvn[0]) / self.cmvn[1] for f in feats
+            ]
         out: List[str] = []
         B = self.batch_size
         for start in range(0, len(feats), B):
@@ -313,6 +340,8 @@ class ExportedModel:
         the full running hypothesis. Returns the final text —
         identical to the offline greedy decode (no lookahead)."""
         feats = self.audio_proc.process(path)
+        if self.cmvn is not None:
+            feats = (feats - self.cmvn[0]) / self.cmvn[1]
         streamer = self.streamer
         C = streamer.chunk_frames
         T = feats.shape[0]
