@@ -1,0 +1,332 @@
+"""Parity-results campaign: drive every BASELINE config end-to-end on
+the hard synthetic proxy corpus and write PARITY_RESULTS.md.
+
+No TIMIT/WSJ audio exists in this environment (and the reference mount
+is empty — SURVEY.md §0), so parity evidence comes from the strongest
+available proxy (round-1 verdict Next #1): the ``phone40`` corpus
+(tools/synth_corpus.py) — 40 confusable phone-like tokens, held-out
+speakers with formant warps, bigram phonotactics, coarticulation
+crossfades, 10-30 dB SNR, 3-10 s utterances, hours of audio — run
+through the REAL ``run data/train/test/decode`` pipeline with each
+BASELINE config's committed model architecture.
+
+    python -m nabu_tpu.tools.parity_campaign --out /tmp/parity \
+        [--configs ctc_blstm_timit dblstm_ctc_wsj ...] [--cpu_config1]
+
+Per config it reports: final test token error rate, steady-state train
+audio-s/s (from the trainer's own metrics), decode RTF, optimizer
+steps and wall-clock. Each stage runs in a fresh subprocess (one TPU
+process at a time; the compilation cache keeps restarts cheap).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+from nabu_tpu.config import ConfigFile, Recipe
+
+REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# the five BASELINE.json configs (BASELINE.json:6-12), by recipe name
+CONFIGS = [
+    "ctc_blstm_timit",
+    "dblstm_ctc_wsj",
+    "las_timit",
+    "las_large_wsj",
+    "joint_ctc_att_multihost",
+]
+
+# feature-processing keys carried over from the committed recipes
+_FEATURE_KEYS = (
+    "processor", "feature", "nfilt", "winlen", "winstep", "nfft",
+    "include_energy", "dynamic", "lowfreq", "highfreq",
+)
+
+
+def build_campaign_recipe(
+    src_recipe: str,
+    out_dir: str,
+    splits: dict,
+    alphabet,
+    trainer_overrides: dict,
+    batch_size: int | None = None,
+) -> str:
+    """A recipe dir = the committed config's model/trainer architecture
+    pointed at the proxy corpus (phone targets, word tokenizer)."""
+    os.makedirs(out_dir, exist_ok=True)
+    src = Recipe(src_recipe)
+
+    db_lines = []
+    for split, (scp, text) in splits.items():
+        fsec = src.database.section(f"{split}features")
+        keys = [
+            f"{k} = {fsec[k]}" for k in _FEATURE_KEYS if fsec.get(k)
+        ]
+        db_lines.append(
+            f"[{split}features]\ndatafile = {scp}\n"
+            f"dir = {split}features\n" + "\n".join(keys) + "\n"
+        )
+        db_lines.append(
+            f"[{split}targets]\ndatafile = {text}\n"
+            f"dir = {split}targets\nprocessor = text\n"
+            f"tokenizer = word\nalphabet = {' '.join(alphabet)}\n"
+        )
+    with open(os.path.join(out_dir, "database.conf"), "w") as f:
+        f.write("\n".join(db_lines))
+
+    # model architecture verbatim
+    with open(os.path.join(src_recipe, "model.cfg")) as f:
+        model_text = f.read()
+    with open(os.path.join(out_dir, "model.cfg"), "w") as f:
+        f.write(model_text)
+
+    tconf = src.trainer.section("trainer").copy()
+    for k, v in trainer_overrides.items():
+        tconf.set(k, str(v))
+    if batch_size is not None:
+        tconf.set("batch_size", str(batch_size))
+    ConfigFile({"trainer": tconf}).write(
+        os.path.join(out_dir, "trainer.cfg")
+    )
+
+    for fname, maxbatch in (
+        ("validation_evaluator.cfg", 32),
+        ("test_evaluator.cfg", 32),
+        ("recognizer.cfg", 32),
+    ):
+        cfg = ConfigFile.read(os.path.join(src_recipe, fname))
+        sec = cfg.section(cfg.sections()[0])
+        if batch_size is not None and sec.get("batch_size"):
+            sec.set("batch_size", str(min(batch_size, maxbatch)))
+        cfg.write(os.path.join(out_dir, fname))
+    return out_dir
+
+
+def _run(cmd, env=None, timeout_s=7200):
+    t0 = time.time()
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=full_env, timeout=timeout_s,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    elapsed = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{' '.join(cmd)} failed ({proc.returncode}):\n"
+            + proc.stdout[-4000:]
+        )
+    return proc.stdout, elapsed
+
+
+def _train_metrics(expdir: str):
+    """(median steady-state audio_s/s, last step) from metrics.jsonl."""
+    rates, last_step = [], 0
+    with open(os.path.join(expdir, "logs", "metrics.jsonl")) as f:
+        for line in f:
+            m = json.loads(line)
+            if "train/audio_s_per_s" in m:
+                rates.append(m["train/audio_s_per_s"])
+                last_step = max(last_step, m.get("step", 0))
+    rates = rates[len(rates) // 2:] or [0.0]
+    return sorted(rates)[len(rates) // 2], last_step
+
+
+def _test_audio_seconds(expdir: str) -> float:
+    meta = json.load(open(os.path.join(
+        expdir, "data", "testfeatures", "metadata.json"
+    )))
+    # frames * 10 ms
+    return meta["num_utts"] * meta["mean_length"] * 0.01
+
+
+def run_config(name: str, splits, alphabet, workdir: str,
+               platform: str | None = None, quick: bool = False):
+    """data -> train -> test -> decode for one BASELINE config."""
+    overrides = {
+        # the proxy corpus is hours, not thousands of hours: validate
+        # every ~200 steps, keep the recipes' early-stopping semantics
+        "valid_frequency": 200,
+        "ckpt_frequency": 0,
+        "log_frequency": 20,
+        "num_buckets": 4,
+    }
+    if quick:
+        overrides["num_epochs"] = 2
+        overrides["valid_frequency"] = 0
+    recipe = build_campaign_recipe(
+        os.path.join(REPO, "config", "recipes", name),
+        os.path.join(workdir, f"recipe_{name}"),
+        splits, alphabet, overrides,
+    )
+    expdir = os.path.join(workdir, f"exp_{name}" + (
+        f"_{platform}" if platform else ""
+    ))
+    if os.path.exists(expdir):
+        import shutil
+
+        shutil.rmtree(expdir)  # stale metrics/checkpoints would mix in
+    env = {}
+    if platform:
+        env["NABU_PLATFORM"] = platform
+    elif os.environ.get("NABU_PLATFORM"):
+        platform = os.environ["NABU_PLATFORM"]  # label only
+    runner = ["bash", os.path.join(REPO, "run")]
+
+    print(f"[campaign] {name}: data", flush=True)
+    _run(runner + ["data", f"--recipe={recipe}", f"--expdir={expdir}",
+                   "--num_workers=8"], env)
+    print(f"[campaign] {name}: train", flush=True)
+    _, train_wall = _run(
+        runner + ["train", f"--recipe={recipe}", f"--expdir={expdir}"],
+        env,
+    )
+    audio_rate, steps = _train_metrics(expdir)
+    print(f"[campaign] {name}: test", flush=True)
+    test_out, _ = _run(
+        runner + ["test", f"--recipe={recipe}", f"--expdir={expdir}"],
+        env,
+    )
+    err = None
+    for line in test_out.splitlines():
+        m = re.search(r"\[test\] .* = ([0-9.]+)", line)
+        if m:
+            err = float(m.group(1))
+    print(f"[campaign] {name}: decode", flush=True)
+    decode_out, decode_wall = _run(
+        runner + ["decode", f"--recipe={recipe}", f"--expdir={expdir}"],
+        env,
+    )
+    rtf = decode_wall / max(_test_audio_seconds(expdir), 1e-9)
+    return {
+        "config": name,
+        "platform": platform or "tpu",
+        "test_error": err,
+        "train_audio_s_per_s": round(audio_rate, 1),
+        "steps": steps,
+        "train_wall_s": round(train_wall, 1),
+        "decode_rtf": round(rtf, 5),
+    }
+
+
+def write_results(path: str, rows, corpus_desc: str) -> None:
+    lines = [
+        "# PARITY RESULTS — BASELINE configs on the phone40 proxy corpus",
+        "",
+        "The environment has no TIMIT/WSJ audio and the reference mount is",
+        "empty (SURVEY.md §0), so parity evidence uses the strongest",
+        "available proxy: " + corpus_desc,
+        "",
+        "Literature sanity bands (BASELINE.md): TIMIT BLSTM-CTC ~18-20% PER,",
+        "WSJ LAS ~10-15% WER. The proxy's absolute numbers are not",
+        "comparable 1:1, but the configs must land in an honest nonzero",
+        "error band, converge, and sustain the benchmarked throughput.",
+        "",
+        "| Config | Platform | Test token error | Train audio-s/s | Steps |"
+        " Train wall (s) | Decode RTF |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        err = "-" if r["test_error"] is None else f"{r['test_error']:.4f}"
+        lines.append(
+            f"| {r['config']} | {r['platform']} | {err} | "
+            f"{r['train_audio_s_per_s']} | {r['steps']} | "
+            f"{r['train_wall_s']} | {r['decode_rtf']} |"
+        )
+    lines += [
+        "",
+        "Notes:",
+        "- decode RTF includes the full `run decode` wall-clock",
+        "  (model build, checkpoint load, jit compile and n-best dump)",
+        "  over the test split — a deployment-pessimistic number; the",
+        "  kernel-level decode RTF is in README Benchmarks.",
+        "- the CPU row for config 1 proves CPU-runnability",
+        "  (BASELINE.json:7): a short 2-epoch run, not full convergence.",
+        "- train audio-s/s is the trainer's own steady-state metric",
+        "  (median of the second half of logged windows), which includes",
+        "  bucket padding waste, validation pauses and host IO overlap.",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="parity_campaign", description=__doc__
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--configs", nargs="*", default=CONFIGS)
+    p.add_argument("--train_seconds", type=float, default=7200.0)
+    p.add_argument("--eval_seconds", type=float, default=600.0)
+    p.add_argument("--cpu_config1", action="store_true",
+                   help="also run config 1 on CPU (short run)")
+    p.add_argument("--smoke", action="store_true",
+                   help="2-epoch runs for every config (machinery "
+                        "check, not a results run)")
+    p.add_argument("--results", default=None,
+                   help="PARITY_RESULTS.md path (default <out>/...)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from nabu_tpu.tools.synth_corpus import make_phone40_corpus
+
+    corpus_dir = os.path.join(args.out, "corpus")
+    marker = os.path.join(corpus_dir, ".complete")
+    if os.path.exists(marker):
+        splits = {
+            s: (os.path.join(corpus_dir, s, "wav.scp"),
+                os.path.join(corpus_dir, s, "text"))
+            for s in ("train", "dev", "test")
+        }
+        from nabu_tpu.tools.synth_corpus import _phone40_inventory
+
+        alphabet = [ph["name"] for ph in _phone40_inventory()]
+        print("[campaign] reusing corpus", flush=True)
+    else:
+        print("[campaign] synthesizing phone40 corpus", flush=True)
+        splits, alphabet = make_phone40_corpus(
+            corpus_dir,
+            train_seconds=args.train_seconds,
+            dev_seconds=args.eval_seconds,
+            test_seconds=args.eval_seconds,
+            seed=args.seed,
+        )
+        open(marker, "w").write("ok\n")
+
+    rows = []
+    for name in args.configs:
+        rows.append(run_config(
+            name, splits, alphabet, args.out, quick=args.smoke,
+        ))
+        print(json.dumps(rows[-1]), flush=True)
+    if args.cpu_config1:
+        rows.append(run_config(
+            "ctc_blstm_timit", splits, alphabet, args.out,
+            platform="cpu", quick=True,
+        ))
+        print(json.dumps(rows[-1]), flush=True)
+
+    desc = (
+        f"the phone40 corpus ({args.train_seconds / 3600:.1f} h train / "
+        f"{args.eval_seconds / 60:.0f} min dev/test, 40 phone-like "
+        "tokens, 24 train + 6+6 held-out eval speakers with vocal-tract "
+        "warps, bigram phonotactics, 20 ms coarticulation crossfades, "
+        "10-30 dB SNR, 3-10 s utterances)."
+    )
+    results = args.results or os.path.join(args.out, "PARITY_RESULTS.md")
+    write_results(results, rows, desc)
+    print(f"[campaign] wrote {results}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
