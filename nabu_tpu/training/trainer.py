@@ -309,6 +309,22 @@ class Trainer:
         t_last = time.time()
         frames_since_log = 0
 
+        # startup + first-step progress (stderr): the first train step
+        # includes jit compilation (20-40 s per bucket through a remote
+        # compile service) — without these lines a hung backend is
+        # indistinguishable from a slow compile
+        n_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree.leaves(params)
+        )
+        print(
+            f"[trainer] start: platform={jax.devices()[0].platform} "
+            f"devices={len(jax.devices())} params={n_params:,} "
+            f"step={step}/{self.num_steps} batches/epoch={num_batches}",
+            flush=True,
+        )
+        t_first = time.time()
+        first_logged = False
+
         from nabu_tpu.data.pipeline import prefetch
 
         def device_stream(epoch_idx: int, skip_n: int):
@@ -375,6 +391,18 @@ class Trainer:
                 if ema is not None:
                     ema = self._ema_step(ema, params)
                 step += 1
+                if not first_logged:
+                    # force completion: a scalar fetch blocks until the
+                    # step really ran (block_until_ready does not block
+                    # on all remote backends — CLAUDE.md)
+                    float(jax.device_get(metrics["loss"]))
+                    print(
+                        f"[trainer] first step done in "
+                        f"{time.time() - t_first:.1f}s (includes jit "
+                        f"compile)",
+                        flush=True,
+                    )
+                    first_logged = True
                 if tracing and step >= self.profile_stop:
                     jax.profiler.stop_trace()
                     tracing = False
