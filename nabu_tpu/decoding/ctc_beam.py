@@ -21,9 +21,15 @@ import jax.numpy as jnp
 from nabu_tpu.ops.masking import NEG_INF
 
 # rolling-hash constants (int32 wraparound multiplication; two
-# independent hashes make collisions vanishingly unlikely)
-_H_MULT = jnp.int32(1000003)
-_H_MULT2 = jnp.int32(8191)
+# independent hashes make collisions vanishingly unlikely). Python
+# ints on purpose: a module-level jnp scalar becomes a closed-over
+# jaxpr CONSTANT in every trace that uses it, and XLA may fold such
+# consts differently per input shape — jax 0.9's C++ fast-path jit
+# cache then dispatches an executable with a mismatched kept-argument
+# set ("Execution supplied 16 buffers but compiled program expected
+# 19") on the second call of the second compiled shape. Keeping the
+# traced closure constant-free sidesteps the bug; a regression test
+# drives the exact two-bucket call sequence (tests/test_beam.py).
 
 
 def _segment_logsumexp_sorted(values: jnp.ndarray, segment_start: jnp.ndarray):
@@ -94,9 +100,11 @@ def ctc_prefix_beam_search(
     if fuse:
         init["lm"] = lm.init_state((B, W))
 
-    nonblank_ids = jnp.array(
-        [v for v in range(V) if v != blank_id], jnp.int32
-    )  # [V-1]
+    # [V-1] vocab ids with blank removed — built from an in-graph iota
+    # (a `jnp.array([...])` literal here would be another closed-over
+    # constant; see the note on hash constants above)
+    _ids = jnp.arange(V - 1, dtype=jnp.int32)
+    nonblank_ids = jnp.where(_ids >= blank_id, _ids + 1, _ids)
 
     def step(state, inp):
         lp, valid = inp  # lp [B, V], valid [B]
@@ -136,8 +144,8 @@ def ctc_prefix_beam_search(
         h = state["hash"][..., None]
         h2 = state["hash2"][..., None]
         tok32 = (nonblank_ids + 1).astype(jnp.int32)[None, None, :]
-        ext_h = h * _H_MULT + tok32
-        ext_h2 = h2 * _H_MULT2 + tok32
+        ext_h = h * 1000003 + tok32
+        ext_h2 = h2 * 8191 + tok32
         cand_h = jnp.concatenate([ext_h, h], axis=-1)  # [B, W, V]
         cand_h2 = jnp.concatenate([ext_h2, h2], axis=-1)
         # parent/token bookkeeping

@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -129,16 +128,21 @@ def _run(cmd, env=None, timeout_s=7200):
 
 
 def _train_metrics(expdir: str):
-    """(median steady-state audio_s/s, last step) from metrics.jsonl."""
+    """(median steady-state audio_s/s, last step, logged wall span)
+    from metrics.jsonl."""
     rates, last_step = [], 0
+    times = []
     with open(os.path.join(expdir, "logs", "metrics.jsonl")) as f:
         for line in f:
             m = json.loads(line)
+            if "time" in m:
+                times.append(m["time"])
             if "train/audio_s_per_s" in m:
                 rates.append(m["train/audio_s_per_s"])
                 last_step = max(last_step, m.get("step", 0))
     rates = rates[len(rates) // 2:] or [0.0]
-    return sorted(rates)[len(rates) // 2], last_step
+    span = (max(times) - min(times)) if len(times) > 1 else 0.0
+    return sorted(rates)[len(rates) // 2], last_step, span
 
 
 def _test_audio_seconds(expdir: str) -> float:
@@ -150,8 +154,15 @@ def _test_audio_seconds(expdir: str) -> float:
 
 
 def run_config(name: str, splits, alphabet, workdir: str,
-               platform: str | None = None, quick: bool = False):
-    """data -> train -> test -> decode for one BASELINE config."""
+               platform: str | None = None, quick: bool = False,
+               resume: bool = False):
+    """data -> train -> test -> decode for one BASELINE config.
+
+    ``resume`` skips stages whose outputs already exist in the expdir
+    (data: prepared metadata; train: a best checkpoint + metrics;
+    test: test_result.json), so a campaign interrupted mid-way — the
+    TPU tunnel can wedge for an hour (CLAUDE.md) — restarts where it
+    stopped. Decode always re-runs (cheap, and it is the RTF probe)."""
     overrides = {
         # the proxy corpus is hours, not thousands of hours: validate
         # every ~200 steps, keep the recipes' early-stopping semantics
@@ -171,7 +182,7 @@ def run_config(name: str, splits, alphabet, workdir: str,
     expdir = os.path.join(workdir, f"exp_{name}" + (
         f"_{platform}" if platform else ""
     ))
-    if os.path.exists(expdir):
+    if os.path.exists(expdir) and not resume:
         import shutil
 
         shutil.rmtree(expdir)  # stale metrics/checkpoints would mix in
@@ -182,25 +193,40 @@ def run_config(name: str, splits, alphabet, workdir: str,
         platform = os.environ["NABU_PLATFORM"]  # label only
     runner = ["bash", os.path.join(REPO, "run")]
 
-    print(f"[campaign] {name}: data", flush=True)
-    _run(runner + ["data", f"--recipe={recipe}", f"--expdir={expdir}",
-                   "--num_workers=8"], env)
-    print(f"[campaign] {name}: train", flush=True)
-    _, train_wall = _run(
-        runner + ["train", f"--recipe={recipe}", f"--expdir={expdir}"],
-        env,
+    data_done = os.path.exists(os.path.join(
+        expdir, "data", "testfeatures", "metadata.json"
+    ))
+    if resume and data_done:
+        print(f"[campaign] {name}: data (skipped, exists)", flush=True)
+    else:
+        print(f"[campaign] {name}: data", flush=True)
+        _run(runner + ["data", f"--recipe={recipe}",
+                       f"--expdir={expdir}", "--num_workers=8"], env)
+    metrics_path = os.path.join(expdir, "logs", "metrics.jsonl")
+    train_done = (
+        os.path.exists(os.path.join(expdir, "checkpoints", "best"))
+        and os.path.exists(metrics_path)
+        and os.path.getsize(metrics_path) > 0
     )
-    audio_rate, steps = _train_metrics(expdir)
-    print(f"[campaign] {name}: test", flush=True)
-    test_out, _ = _run(
-        runner + ["test", f"--recipe={recipe}", f"--expdir={expdir}"],
-        env,
-    )
-    err = None
-    for line in test_out.splitlines():
-        m = re.search(r"\[test\] .* = ([0-9.]+)", line)
-        if m:
-            err = float(m.group(1))
+    if resume and train_done:
+        print(f"[campaign] {name}: train (skipped, exists)", flush=True)
+        audio_rate, steps, train_wall = _train_metrics(expdir)
+    else:
+        print(f"[campaign] {name}: train", flush=True)
+        _, train_wall = _run(
+            runner + ["train", f"--recipe={recipe}",
+                      f"--expdir={expdir}"],
+            env,
+        )
+        audio_rate, steps, _ = _train_metrics(expdir)
+    result_path = os.path.join(expdir, "test_result.json")
+    if resume and os.path.exists(result_path):
+        print(f"[campaign] {name}: test (skipped, exists)", flush=True)
+    else:
+        print(f"[campaign] {name}: test", flush=True)
+        _run(runner + ["test", f"--recipe={recipe}",
+                       f"--expdir={expdir}"], env)
+    err = json.load(open(result_path))["metric"]
     print(f"[campaign] {name}: decode", flush=True)
     decode_out, decode_wall = _run(
         runner + ["decode", f"--recipe={recipe}", f"--expdir={expdir}"],
@@ -272,6 +298,9 @@ def main(argv=None) -> int:
     p.add_argument("--smoke", action="store_true",
                    help="2-epoch runs for every config (machinery "
                         "check, not a results run)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose outputs already exist "
+                        "(restart an interrupted campaign)")
     p.add_argument("--results", default=None,
                    help="PARITY_RESULTS.md path (default <out>/...)")
     p.add_argument("--seed", type=int, default=0)
@@ -306,12 +335,13 @@ def main(argv=None) -> int:
     for name in args.configs:
         rows.append(run_config(
             name, splits, alphabet, args.out, quick=args.smoke,
+            resume=args.resume,
         ))
         print(json.dumps(rows[-1]), flush=True)
     if args.cpu_config1:
         rows.append(run_config(
             "ctc_blstm_timit", splits, alphabet, args.out,
-            platform="cpu", quick=True,
+            platform="cpu", quick=True, resume=args.resume,
         ))
         print(json.dumps(rows[-1]), flush=True)
 

@@ -480,3 +480,37 @@ def test_ctc_beam_truncates_at_max_label_len():
     seqs, lens = trunc[0], trunc[1]
     best = list(np.asarray(seqs)[0, 0, : int(np.asarray(lens)[0, 0])])
     assert best == [0, 1], best  # first two labels, not [0, 2]
+
+
+def test_ctc_beam_trace_is_constant_free():
+    """Regression: the beam-search closure must produce ZERO jaxpr
+    constants. Module-level jnp scalars / jnp.array literals become
+    closed-over constants that XLA folds differently per input shape;
+    jax 0.9's C++ fast-path jit cache then dispatches an executable
+    whose kept-argument set belongs to the other shape ("Execution
+    supplied 16 buffers but compiled program expected 19") on the
+    second call of the second compiled bucket shape — which broke
+    `run test` over a 2-bucket loader on CPU and TPU alike."""
+    for T in (7, 11):  # two bucket shapes
+        jaxpr = jax.make_jaxpr(
+            lambda lp, ll: ctc_prefix_beam_search(
+                lp, ll, beam_width=3, blank_id=4
+            )
+        )(jnp.zeros((2, T, 5)), jnp.full((2,), T, jnp.int32))
+        assert not jaxpr.consts, (T, jaxpr.consts)
+
+    # and the failing dispatch pattern itself: two shapes, each
+    # executed twice through one jitted function
+    fn = jax.jit(
+        lambda lp, ll: ctc_prefix_beam_search(
+            lp, ll, beam_width=3, blank_id=4
+        )
+    )
+    rng = np.random.default_rng(0)
+    for T in (7, 7, 11, 11):
+        lp = jnp.asarray(
+            rng.standard_normal((2, T, 5)).astype(np.float32)
+        )
+        out = fn(jax.nn.log_softmax(lp, -1),
+                 jnp.full((2,), T, jnp.int32))
+        jax.block_until_ready(out)
