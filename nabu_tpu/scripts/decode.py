@@ -8,6 +8,7 @@ rescoring.
 from __future__ import annotations
 
 import os
+import time
 
 from nabu_tpu.config import Recipe
 from nabu_tpu.decoding.recognizers import build_recognizer
@@ -36,20 +37,51 @@ def main(recipe_path: str, expdir: str) -> str:
     recognizer = build_recognizer(rconf, model)
     alphabet = tgt_meta["alphabet"]
     tokenizer = tgt_meta.get("tokenizer", "word")
+    frame_shift = recipe.database.section(
+        rconf["features"]
+    ).getfloat("winstep", 0.01)
 
     out_dir = os.path.join(expdir, "decoded")
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "nbest.txt")
+    # steady-state RTF: per-batch decode wall time and audio seconds,
+    # with the slowest call per distinct batch shape dropped (that call
+    # carries the jit compile — minutes through a remote compile
+    # service, microseconds of actual decode)
+    shape_times: dict = {}
+    audio_total = 0.0
     with open(out_path, "w") as f:
         for batch in loader.epoch(0, shuffle=False):
+            t0 = time.perf_counter()
             result = recognizer(
                 params, batch.features, batch.feature_lengths
             )
+            dt = time.perf_counter() - t0
+            frames = float(
+                batch.feature_lengths[batch.example_mask].sum()
+            )
+            audio_s = frames * frame_shift
+            shape_times.setdefault(batch.features.shape, []).append(
+                (dt, audio_s)
+            )
+            audio_total += audio_s
             for b, utt in enumerate(batch.utt_ids):
                 if not batch.example_mask[b]:
                     continue
                 for score, ids in result.nbest(b):
                     text = ids_to_text(ids, alphabet, tokenizer)
                     f.write(f"{utt} {score:.4f} {text}\n")
-    print(f"[decode] wrote {out_path}")
+    steady_t = steady_audio = 0.0
+    for calls in shape_times.values():
+        drop = max(range(len(calls)), key=lambda i: calls[i][0])
+        kept = [c for i, c in enumerate(calls)
+                if i != drop or len(calls) == 1]
+        if len(calls) > 1:
+            steady_t += sum(t for t, _ in kept)
+            steady_audio += sum(a for _, a in kept)
+    if steady_audio > 0:
+        print(f"[decode] steady-state RTF "
+              f"{steady_t / steady_audio:.5f} "
+              f"({steady_audio:.0f}s audio, compile calls excluded)")
+    print(f"[decode] wrote {out_path} ({audio_total:.0f}s audio)")
     return out_path
