@@ -20,6 +20,7 @@ the value is the median of --repeats measurements.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -605,18 +606,32 @@ def run_scaling(args):
             "eff_no_overlap": round(step_s / (step_s + t_comm), 3),
             "eff_overlap": round(min(1.0, step_s / max(t_comm, 1e-9)), 3),
         })
+    # headline = the BASELINE.md target quantity (1 host -> 4 hosts
+    # efficiency, no-overlap = pessimistic). The virtual-CPU-mesh rows
+    # are a FUNCTIONAL check (the partitioned program compiles/runs at
+    # every n) plus a timing that is only meaningful up to the host's
+    # physical core count: n virtual devices timeshare os.cpu_count()
+    # cores, so beyond that the ratio measures oversubscription, not
+    # GSPMD partition overhead.
+    cores = os.cpu_count() or 1
     print(json.dumps({
-        "metric": "simulated_weak_scaling_efficiency_8dev",
-        "value": rows[-1]["efficiency_vs_1dev_same_batch"],
+        "metric": "projected_scaling_efficiency_4chip_no_overlap",
+        "value": proj[1]["eff_no_overlap"],
         "unit": "ratio",
-        "vs_baseline": 1.0,
-        "measured_cpu_mesh": rows,
+        "vs_baseline": round(proj[1]["eff_no_overlap"] / 0.80, 3),
         "params": n_params,
         "ici_projection": {
             "assumed_ici_bytes_per_s": ici_bw,
             "assumed_step_s": step_s,
             "per_devices": proj,
         },
+        "measured_cpu_mesh": rows,
+        "host_cores": cores,
+        "cpu_mesh_caveat": (
+            f"virtual devices share {cores} physical cores; rows with "
+            f"devices > {cores} measure core oversubscription, not "
+            "partition/collective overhead"
+        ),
     }))
 
 
@@ -671,7 +686,33 @@ def main():
                         "over a realistic length distribution (includes "
                         "bucket padding waste) — reported as "
                         "loader_value in the same JSON line")
+    parser.add_argument("--watchdog_s", type=float, default=1500.0,
+                        help="hard deadline: if the bench has not "
+                        "finished by then, print a diagnostic JSON "
+                        "line and exit 3 (the tunneled dev TPU can "
+                        "wedge such that every device op blocks "
+                        "forever; a hung bench is worse than an "
+                        "errored one). 0 disables.")
     args = parser.parse_args()
+
+    if args.watchdog_s > 0:
+        import threading
+
+        def _watchdog():
+            print(json.dumps({
+                "metric": "bench_error",
+                "value": 0,
+                "unit": "none",
+                "vs_baseline": 0,
+                "error": f"no result within {args.watchdog_s:.0f}s — "
+                         "TPU backend likely unresponsive (known "
+                         "tunnel wedge, see CLAUDE.md)",
+            }), flush=True)
+            os._exit(3)
+
+        t = threading.Timer(args.watchdog_s, _watchdog)
+        t.daemon = True
+        t.start()
 
     import jax
 
