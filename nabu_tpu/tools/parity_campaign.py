@@ -155,7 +155,7 @@ def _test_audio_seconds(expdir: str) -> float:
 
 def run_config(name: str, splits, alphabet, workdir: str,
                platform: str | None = None, quick: bool = False,
-               resume: bool = False):
+               quick_epochs: int = 2, resume: bool = False):
     """data -> train -> test -> decode for one BASELINE config.
 
     ``resume`` skips stages whose outputs already exist in the expdir
@@ -172,7 +172,7 @@ def run_config(name: str, splits, alphabet, workdir: str,
         "num_buckets": 4,
     }
     if quick:
-        overrides["num_epochs"] = 2
+        overrides["num_epochs"] = quick_epochs
         overrides["valid_frequency"] = 0
     recipe = build_campaign_recipe(
         os.path.join(REPO, "config", "recipes", name),
@@ -351,7 +351,8 @@ def main(argv=None) -> int:
     if args.cpu_config1:
         rows.append(run_config(
             "ctc_blstm_timit", splits, alphabet, args.out,
-            platform="cpu", quick=True, resume=args.resume,
+            platform="cpu", quick=True, quick_epochs=10,
+            resume=args.resume,
         ))
         print(json.dumps(rows[-1]), flush=True)
 
