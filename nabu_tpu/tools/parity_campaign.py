@@ -164,13 +164,27 @@ def run_config(name: str, splits, alphabet, workdir: str,
     TPU tunnel can wedge for an hour (CLAUDE.md) — restarts where it
     stopped. Decode always re-runs (cheap, and it is the RTF probe)."""
     overrides = {
-        # the proxy corpus is hours, not thousands of hours: validate
-        # every ~200 steps, keep the recipes' early-stopping semantics
-        "valid_frequency": 200,
+        # keep the recipes' committed validation cadence (500/1000
+        # steps) and early-stopping semantics. A first campaign run
+        # overrode valid_frequency down to 200 "because the corpus is
+        # small" — that trapped the attention configs: the dev loss
+        # plateaus while attention aligns (the classic LAS plateau),
+        # every 200-step non-improvement fired restore-best + LR
+        # backoff, and the LR collapsed 6 halvings before the model
+        # could break through (las_timit ended at 113% test error).
         "ckpt_frequency": 0,
         "log_frequency": 20,
         "num_buckets": 4,
     }
+    if name in ("las_timit", "las_large_wsj"):
+        # ~35 optimizer steps/epoch on the 2 h proxy vs ~180 on TIMIT:
+        # give the attention recipes a comparable step budget, a slower
+        # validation cadence (attention plateaus before it aligns — a
+        # 500-step backoff cadence collapses the LR first), and the
+        # sortagrad curriculum (shortest utterances first in epoch 0)
+        overrides["num_epochs"] = 120
+        overrides["valid_frequency"] = 1000
+        overrides["sortagrad"] = "true"
     if quick:
         overrides["num_epochs"] = quick_epochs
         overrides["valid_frequency"] = 0
