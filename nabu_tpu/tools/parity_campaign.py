@@ -355,20 +355,39 @@ def main(argv=None) -> int:
         )
         open(marker, "w").write("ok\n")
 
-    rows = []
+    # every finished config persists its row; the table is assembled
+    # from ALL persisted rows, so a campaign split across several
+    # invocations (or interrupted by a backend wedge) still ends with
+    # one complete PARITY_RESULTS.md
+    rows_dir = os.path.join(args.out, "rows")
+    os.makedirs(rows_dir, exist_ok=True)
+
+    def _save_row(row):
+        path = os.path.join(
+            rows_dir, f"{row['config']}_{row['platform']}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(row, f)
+        print(json.dumps(row), flush=True)
+
     for name in args.configs:
-        rows.append(run_config(
+        _save_row(run_config(
             name, splits, alphabet, args.out, quick=args.smoke,
             resume=args.resume,
         ))
-        print(json.dumps(rows[-1]), flush=True)
     if args.cpu_config1:
-        rows.append(run_config(
+        _save_row(run_config(
             "ctc_blstm_timit", splits, alphabet, args.out,
             platform="cpu", quick=True, quick_epochs=10,
             resume=args.resume,
         ))
-        print(json.dumps(rows[-1]), flush=True)
+
+    rows = []
+    for name in CONFIGS:  # canonical order; tpu row then cpu row
+        for platform in ("tpu", "cpu"):
+            path = os.path.join(rows_dir, f"{name}_{platform}.json")
+            if os.path.exists(path):
+                rows.append(json.load(open(path)))
 
     desc = (
         f"the phone40 corpus ({args.train_seconds / 3600:.1f} h train / "
