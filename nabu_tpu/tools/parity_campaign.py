@@ -176,12 +176,14 @@ def run_config(name: str, splits, alphabet, workdir: str,
         "log_frequency": 20,
         "num_buckets": 4,
     }
-    if name in ("las_timit", "las_large_wsj"):
-        # ~35 optimizer steps/epoch on the 2 h proxy vs ~180 on TIMIT:
-        # give the attention recipes a comparable step budget, a slower
-        # validation cadence (attention plateaus before it aligns — a
-        # 500-step backoff cadence collapses the LR first), and the
-        # sortagrad curriculum (shortest utterances first in epoch 0)
+    if name in ("las_timit", "las_large_wsj",
+                "joint_ctc_att_multihost"):
+        # ~35 optimizer steps/epoch at B=32 (~18 at B=64) on the 2 h
+        # proxy vs ~180 on TIMIT: give the attention recipes a
+        # comparable step budget, a slower validation cadence
+        # (attention plateaus before it aligns — a tight backoff
+        # cadence collapses the LR first), and the sortagrad
+        # curriculum (shortest utterances first in epoch 0)
         overrides["num_epochs"] = 120
         overrides["valid_frequency"] = 1000
         overrides["sortagrad"] = "true"
