@@ -191,44 +191,93 @@ def time_train_step(loss_fn, params, batch, steps, warmup=2):
     return time.perf_counter() - t0, final_loss
 
 
-def step_flops(arch, batch):
+def _step_flops_inproc(arch, batch):
     """FLOPs of one optimizer step from XLA's HLO cost model.
 
     Counted on the Pallas-free fp32 oracle graph of the same
     architecture (identical matmul work — a Pallas custom call would
     count as zero flops), lowered only (never executed/compiled to a
     device), with fully abstract inputs so nothing touches the chip.
-    Returns None when the cost model is unavailable.
+    Raises on failure — callers decide how to degrade.
     """
     import jax
     import numpy as np
     import optax
 
+    model, loss_fn = build_model_and_loss(False, False, "float32", arch)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+
+    def train_step(params, opt_state, batch, seed):
+        key = jax.random.PRNGKey(seed)
+        (loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, key, True)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params_abs = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    opt_abs = jax.eval_shape(tx.init, params_abs)
+    batch_abs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+    )
+    seed_abs = jax.ShapeDtypeStruct((), np.int32)
+    lowered = jax.jit(train_step).lower(
+        params_abs, opt_abs, batch_abs, seed_abs
+    )
+    cost = lowered.cost_analysis() or {}
+    flops = float(cost.get("flops", 0.0))
+    if flops <= 0:
+        raise RuntimeError(f"cost model returned flops={flops}")
+    return flops
+
+
+def step_flops(arch, batch):
+    """step FLOPs, robust to the active backend (round-2 verdict
+    Next #2: on the tunneled axon backend the in-process cost
+    analysis fails and a bare except silently dropped the MFU fields
+    from the driver artifact).
+
+    Primary path: a SUBPROCESS pinned to the CPU backend before any
+    other import (sitecustomize registers the axon backend at
+    interpreter start, so the pin must be the first jax call). The
+    cost model needs no device, so CPU lowering always works.
+    Fallback: in-process. Failures are WARNED to stderr, never
+    swallowed."""
+    import subprocess
+
+    B, T, F = batch["features"].shape
+    L = batch["targets"].shape[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, json, numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "import bench\n"
+        f"batch = bench.make_batch({B}, {T}, {F}, {L}, "
+        "np.random.default_rng(0))\n"
+        f"print(json.dumps({{'flops': "
+        f"bench._step_flops_inproc({arch!r}, batch)}}))\n"
+    )
     try:
-        model, loss_fn = build_model_and_loss(False, False, "float32", arch)
-        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
-
-        def train_step(params, opt_state, batch, seed):
-            key = jax.random.PRNGKey(seed)
-            (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch, key, True)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        params_abs = jax.eval_shape(model.init, jax.random.PRNGKey(0))
-        opt_abs = jax.eval_shape(tx.init, params_abs)
-        batch_abs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+        out = subprocess.run(
+            [sys.executable, "-c", code], timeout=900,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        seed_abs = jax.ShapeDtypeStruct((), np.int32)
-        lowered = jax.jit(train_step).lower(
-            params_abs, opt_abs, batch_abs, seed_abs
-        )
-        cost = lowered.cost_analysis() or {}
-        flops = float(cost.get("flops", 0.0))
-        return flops if flops > 0 else None
-    except Exception:
+        if out.returncode == 0:
+            return float(json.loads(
+                out.stdout.strip().splitlines()[-1]
+            )["flops"])
+        print(f"[bench] WARNING: CPU-subprocess flops count failed "
+              f"(rc={out.returncode}): {out.stderr[-500:]}",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — degrade, but loudly
+        print(f"[bench] WARNING: CPU-subprocess flops count failed: "
+              f"{e!r}", file=sys.stderr, flush=True)
+    try:
+        return _step_flops_inproc(arch, batch)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] WARNING: in-process flops count failed too "
+              f"({e!r}) — flops_per_step/tflops_per_s/mfu omitted",
+              file=sys.stderr, flush=True)
         return None
 
 
@@ -457,6 +506,35 @@ def time_attention_decode(model, params, batch, beam_width, steps,
     return sorted(rtfs)[len(rtfs) // 2]
 
 
+def time_joint_decode(model, params, batch, beam_width, steps, repeats):
+    """Median one-pass joint CTC/attention beam decode RTF on the LAS
+    flagship (attention proposes, the shared-encoder CTC head's prefix
+    probability co-scores every expansion — the decode mode of
+    BASELINE config 5's committed recognizer)."""
+    import jax.numpy as jnp
+
+    from nabu_tpu.config import Conf
+    from nabu_tpu.decoding.recognizers import JointCTCAttBeamRecognizer
+
+    rec = JointCTCAttBeamRecognizer(
+        Conf({"beam_width": str(beam_width), "att_head": "att",
+              "ctc_head": "ctc", "ctc_weight": "0.3"}, "recognizer"),
+        model,
+    )
+    feats = jnp.asarray(batch["features"])
+    flen = jnp.asarray(batch["feature_lengths"])
+
+    rec(params, feats, flen)
+    audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
+    rtfs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rec(params, feats, flen)
+        rtfs.append((time.perf_counter() - t0) / audio_s)
+    return sorted(rtfs)[len(rtfs) // 2]
+
+
 def time_transducer_decode(model, params, batch, beam_width, steps,
                            repeats):
     """Median RNN-T time-synchronous beam-search decode RTF."""
@@ -656,6 +734,12 @@ def main():
                              "self-attention CTC encoders; "
                              "rnnt = beyond-parity transducer family")
     parser.add_argument("--beam_width", type=int, default=8)
+    parser.add_argument("--head", choices=["att", "ctc", "joint"],
+                        default="att",
+                        help="decode mode, --model las: which head to "
+                        "beam-decode (att = attention beam, ctc = "
+                        "prefix beam on the shared-encoder CTC head, "
+                        "joint = one-pass CTC/attention)")
     parser.add_argument("--platform", default=None,
                         help="jax platform override (e.g. cpu)")
     parser.add_argument("--batch", type=int, default=32)
@@ -749,7 +833,19 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
 
     if args.mode == "decode":
-        if args.model == "las":
+        if args.model == "las" and args.head == "joint":
+            rtf = time_joint_decode(
+                model, params, batch, args.beam_width,
+                max(args.steps // 4, 1), args.repeats,
+            )
+            metric = "joint_ctc_att_beam_decode_rtf"
+        elif args.model == "las" and args.head == "ctc":
+            rtf = time_decode(
+                model, params, batch, args.beam_width,
+                max(args.steps // 4, 1), args.repeats, "ctc",
+            )
+            metric = "ctc_beam_decode_rtf"
+        elif args.model == "las":
             rtf = time_attention_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats,

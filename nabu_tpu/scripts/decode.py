@@ -72,16 +72,28 @@ def main(recipe_path: str, expdir: str) -> str:
                     text = ids_to_text(ids, alphabet, tokenizer)
                     f.write(f"{utt} {score:.4f} {text}\n")
     steady_t = steady_audio = 0.0
+    excluded = 0
     for calls in shape_times.values():
+        if len(calls) == 1:
+            # a shape decoded exactly once carries its compile in the
+            # only sample — nothing steady-state to keep
+            excluded += 1
+            continue
         drop = max(range(len(calls)), key=lambda i: calls[i][0])
-        kept = [c for i, c in enumerate(calls)
-                if i != drop or len(calls) == 1]
-        if len(calls) > 1:
-            steady_t += sum(t for t, _ in kept)
-            steady_audio += sum(a for _, a in kept)
+        kept = [c for i, c in enumerate(calls) if i != drop]
+        steady_t += sum(t for t, _ in kept)
+        steady_audio += sum(a for _, a in kept)
     if steady_audio > 0:
+        note = (f", {excluded} single-call shapes excluded entirely"
+                if excluded else "")
         print(f"[decode] steady-state RTF "
               f"{steady_t / steady_audio:.5f} "
-              f"({steady_audio:.0f}s audio, compile calls excluded)")
+              f"({steady_audio:.0f}s audio, compile calls "
+              f"excluded{note})")
+    elif shape_times:
+        print(f"[decode] no steady-state RTF: every batch shape was "
+              f"decoded exactly once ({excluded} shapes) — only the "
+              f"compile-carrying calls exist; falling back to "
+              f"wall-clock is the caller's job")
     print(f"[decode] wrote {out_path} ({audio_total:.0f}s audio)")
     return out_path

@@ -123,4 +123,19 @@ def main(
         f"best metric {result['best_metric']:.4f}, "
         f"early stop: {result['stopped_early']}"
     )
+    # explicit completion marker (chief only): downstream tooling (the
+    # parity campaign's --resume) must distinguish "training finished"
+    # from "training was killed mid-run" — a best checkpoint + metrics
+    # exist in both cases, so their presence alone is not evidence
+    if host_id == 0:
+        import json
+
+        marker = os.path.join(expdir, "logs", "train_complete.json")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({
+                "step": result["step"],
+                "best_metric": float(result["best_metric"]),
+                "stopped_early": bool(result["stopped_early"]),
+            }, f)
     return result

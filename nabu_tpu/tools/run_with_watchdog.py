@@ -29,7 +29,16 @@ import time
 
 
 def _group_cpu_seconds(pgid: int) -> float:
-    """Total utime+stime of all live processes in the group."""
+    """Total utime+stime (incl. reaped children's cutime+cstime) of all
+    live processes in the group.
+
+    cutime/cstime matter for monotonicity: the campaign runs each stage
+    as a subprocess, and when a CPU-heavy stage exits its utime/stime
+    vanish from the live-process sum — but they reappear in the parent's
+    cutime/cstime the moment it reaps the child, so including fields
+    16/17 keeps the group total cumulative across stage transitions
+    instead of dropping sharply (which would park the baseline below
+    reality and falsely kill a healthy pipeline as stalled)."""
     hz = os.sysconf("SC_CLK_TCK")
     total = 0.0
     for pid in os.listdir("/proc"):
@@ -39,9 +48,13 @@ def _group_cpu_seconds(pgid: int) -> float:
             with open(f"/proc/{pid}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
             # fields after comm: state ppid pgrp ... utime=11 stime=12
+            # cutime=13 cstime=14 (0-indexed after the comm split)
             if int(parts[2]) != pgid:
                 continue
-            total += (int(parts[11]) + int(parts[12])) / hz
+            total += (
+                int(parts[11]) + int(parts[12])
+                + int(parts[13]) + int(parts[14])
+            ) / hz
         except (OSError, IndexError, ValueError):
             continue
     return total
@@ -73,8 +86,16 @@ def main(argv=None) -> int:
     )
     p.add_argument("--interval", type=float, default=60.0,
                    help="seconds between CPU samples")
-    p.add_argument("--stall", type=float, default=480.0,
-                   help="kill after this long without CPU progress")
+    p.add_argument("--stall", type=float, default=900.0,
+                   help="kill after this long without CPU progress. "
+                        "NOTE: waiting on the REMOTE compile service "
+                        "burns ~0 local CPU and large configs can "
+                        "compile >570 s through the tunnel "
+                        "(CLAUDE.md), so keep this comfortably above "
+                        "the worst expected single compile — a too-"
+                        "tight stall kills healthy first-epoch runs "
+                        "that compile several bucket shapes "
+                        "back-to-back")
     p.add_argument("--min_cpu", type=float, default=1.0,
                    help="CPU seconds over --stall that count as alive")
     p.add_argument("--max_restarts", type=int, default=20)
@@ -100,7 +121,11 @@ def main(argv=None) -> int:
             time.sleep(args.interval)
             cpu = _group_cpu_seconds(pgid)
             now = time.time()
-            if cpu - base_cpu >= args.min_cpu:
+            # cpu < base_cpu is a belt-and-braces reset: even with
+            # cutime/cstime counted, CPU can still drop (e.g. a stage's
+            # own grandchildren exit unreaped) — never let a negative
+            # delta freeze the baseline and mis-kill a healthy run
+            if cpu - base_cpu >= args.min_cpu or cpu < base_cpu:
                 base_cpu, base_t = cpu, now
             elif now - base_t >= args.stall:
                 stalled = True

@@ -29,6 +29,12 @@ def _run_bench(*args):
 def test_train_mode_smoke():
     rec = _run_bench("--skip_baseline")
     assert rec["metric"] == "train_audio_seconds_per_second_per_chip"
+    # the MFU/utilization fields must survive every backend (round-2
+    # verdict Next #2: on axon they silently vanished; now the count
+    # runs in a CPU-pinned subprocess and failures warn loudly). On
+    # CPU the peak-FLOPs table has no entry, so mfu itself is absent.
+    assert rec["flops_per_step"] > 0
+    assert rec["tflops_per_s"] > 0
 
 
 def test_train_with_baseline_smoke():

@@ -89,3 +89,89 @@ def test_write_results_renders_all_rows(tmp_path):
     assert "0.0372" in text and "3425.4" in text
     assert "| cpu |" in text and "| - |" in text  # None -> dash
     assert "test corpus desc" in text
+
+
+def test_write_results_marks_wallclock_rtf_rows(tmp_path):
+    """RTF provenance per row (round-2 verdict Next #8): a wall-clock
+    fallback value (compile INCLUDED) is visibly marked and footnoted,
+    never silently mixed with steady-state rows."""
+    rows = [
+        {"config": "c1", "platform": "tpu", "test_error": 0.1,
+         "train_audio_s_per_s": 100.0, "steps": 10,
+         "train_wall_s": 5.0, "decode_rtf": 0.002,
+         "rtf_kind": "steady"},
+        {"config": "c2", "platform": "tpu", "test_error": 0.2,
+         "train_audio_s_per_s": 100.0, "steps": 10,
+         "train_wall_s": 5.0, "decode_rtf": 0.9,
+         "rtf_kind": "wall"},
+    ]
+    path = tmp_path / "r.md"
+    write_results(str(path), rows, "desc")
+    text = path.read_text()
+    assert "0.9 †" in text
+    assert "0.002 |" in text and "0.002 †" not in text
+    assert "wall-clock fallback" in text
+
+    # no footnote when every row is steady-state
+    write_results(str(path), rows[:1], "desc")
+    assert "wall-clock fallback" not in path.read_text()
+
+
+def test_backfill_row_from_expdir(tmp_path):
+    """backfill_row recovers a row from a completed expdir's
+    test_result.json + metrics.jsonl without re-running anything."""
+    from nabu_tpu.tools.parity_campaign import backfill_row
+
+    expdir = tmp_path / "exp_ctc_blstm_timit"
+    (expdir / "logs").mkdir(parents=True)
+    with open(expdir / "test_result.json", "w") as f:
+        json.dump({"metric": 0.0372, "evaluator": "decoder"}, f)
+    with open(expdir / "logs" / "metrics.jsonl", "w") as f:
+        for step, t, r in ((10, 0.0, 900.0), (20, 10.0, 1000.0),
+                           (30, 20.0, 1100.0)):
+            f.write(json.dumps({
+                "step": step, "time": t, "train/audio_s_per_s": r,
+            }) + "\n")
+    row = backfill_row("ctc_blstm_timit", str(tmp_path))
+    assert row["test_error"] == 0.0372
+    assert row["steps"] == 30
+    assert row["rtf_kind"] == "backfill"
+    assert row["decode_rtf"] is None
+    # no expdir -> no row (not an error)
+    assert backfill_row("las_timit", str(tmp_path)) is None
+
+
+def test_phone40_v2_split_generates_audio(tmp_path):
+    """The recalibrated v2 profile (babble + channel + independent
+    F1/F2 warps) produces valid utterances end-to-end."""
+    import numpy as np
+
+    from nabu_tpu.data import audio_io
+    from nabu_tpu.tools.synth_corpus import (
+        _phone40_bigram,
+        _phone40_inventory,
+        make_phone40_split,
+    )
+
+    rng = np.random.default_rng(0)
+    phones = _phone40_inventory()
+    bigram = _phone40_bigram(rng)
+    speakers = [("spkA", 1.05, 0.92), ("spkB", 0.9, 1.1)]
+    scp, text = make_phone40_split(
+        str(tmp_path), 8.0, 1, speakers, phones, bigram,
+        min_s=3.0, max_s=4.0, version=2,
+    )
+    scps = open(scp).read().strip().splitlines()
+    texts = open(text).read().strip().splitlines()
+    assert len(scps) == len(texts) >= 2
+    utt, path = scps[0].split()
+    sig, rate = audio_io.load_audio(path)
+    assert rate == 16000
+    # crossfades remove ~30 ms per phone boundary, so a 3 s symbol
+    # budget lands well under 3 s of audio — but never trivially short
+    assert len(sig) >= 1.5 * rate
+    peak = np.abs(np.asarray(sig, np.float64)).max()
+    assert 100.0 < peak <= 30000.5  # audible, never int16-clipped
+    # transcripts use the 40-phone alphabet
+    names = {p["name"] for p in phones}
+    assert set(texts[0].split()[1:]) <= names
