@@ -185,16 +185,27 @@ def run_config(name: str, splits, alphabet, workdir: str,
         # decide actual convergence below that ceiling.
         "num_epochs": 120,
     }
-    if name == "las_large_wsj":
-        overrides["num_epochs"] = 240  # B=64: ~25 steps/epoch
     if name in ("las_timit", "las_large_wsj",
                 "joint_ctc_att_multihost"):
-        # attention recipes additionally need a slower validation
-        # cadence (attention plateaus before it aligns — a tight
-        # backoff cadence collapses the LR first) and the sortagrad
-        # curriculum (shortest utterances first in epoch 0)
+        # attention recipes additionally need: a slower validation
+        # cadence, the sortagrad curriculum (shortest utterances
+        # first in epoch 0), a backoff GRACE PERIOD, and headroom
+        # beyond it. Measured on corpus v2: las_timit's alignment
+        # plateau lasted ~5,000 steps — validation CE sat at ~2.2
+        # while the LR backed off 4x and early stopping restored the
+        # pre-alignment step-1000 model at step 5000, the exact
+        # moment teacher-forced accuracy jumped 0.30 -> 0.41. The
+        # warmup suspends restore/backoff/stop (not best-tracking)
+        # until alignment can break through; early stopping governs
+        # the tail as committed.
         overrides["valid_frequency"] = 1000
         overrides["sortagrad"] = "true"
+        if name == "las_timit":  # B=32: ~51 steps/epoch
+            overrides["num_epochs"] = 240
+            overrides["backoff_warmup_steps"] = 6000
+        else:  # B=64: ~25 steps/epoch; CTC head (joint) or scale
+            overrides["num_epochs"] = 360  # (las_large) shortens the
+            overrides["backoff_warmup_steps"] = 4000  # plateau
     if quick:
         overrides["num_epochs"] = quick_epochs
         overrides["valid_frequency"] = 0

@@ -125,6 +125,16 @@ class Trainer:
         self.num_tries = conf.getint("num_tries", 3)
         self.lr_backoff = conf.getfloat("lr_backoff_factor", 0.5)
         self.early_stopping = conf.getbool("early_stopping", True)
+        # grace period for the restore-best/backoff/early-stop
+        # machinery: validations before this step still track+save the
+        # best model, but a non-improvement neither restores best, nor
+        # backs off the LR, nor counts a try. Attention models plateau
+        # at high validation loss until alignment breaks through
+        # (observed ~5,000 steps on the hard proxy corpus); without a
+        # grace period the backoff loop collapses the LR during the
+        # plateau and early stopping restores a pre-alignment model
+        # moments before the breakthrough.
+        self.backoff_warmup = conf.getint("backoff_warmup_steps", 0)
         # sortagrad (ESPnet-style curriculum): present the FIRST epoch
         # in ascending utterance-length order — short, easy utterances
         # stabilize early CTC/attention alignment — then shuffle as
@@ -490,7 +500,7 @@ class Trainer:
                                 mesh_lib.fetch_to_host(params)
                             )
                         self.ckpt.save_best(best_state)
-                    elif self.early_stopping:
+                    elif self.early_stopping and step > self.backoff_warmup:
                         tries += 1
                         if self.ckpt.exists("best"):
                             # the live (possibly sharded, multi-host)

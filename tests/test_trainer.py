@@ -223,6 +223,56 @@ def test_early_stopping_backoff_and_restore(tmp_path):
     assert int(latest["tries"]) == 2
 
 
+def test_backoff_warmup_suspends_early_stopping(tmp_path):
+    """backoff_warmup_steps: non-improving validations inside the
+    grace period neither count tries nor back off / restore (attention
+    models plateau at high validation loss until alignment breaks
+    through — an eager backoff loop restores a pre-alignment model),
+    while best-tracking still runs. After the warmup the committed
+    retry semantics resume unchanged."""
+    import jax
+
+    from nabu_tpu.config import Conf, ConfigFile
+    from nabu_tpu.models.model import build_model
+    from nabu_tpu.parallel import mesh as mesh_lib
+    from nabu_tpu.training.trainer import Trainer
+
+    cfg = ConfigFile({
+        "encoder": Conf({"encoder": "dnn", "num_units": "8"}, "encoder"),
+        "decoder": Conf({"decoder": "linear_ctc", "loss": "ctc"},
+                        "decoder"),
+    })
+    tconf = Conf({
+        "num_steps": "10",
+        "valid_frequency": "1",
+        "num_tries": "2",
+        "lr_backoff_factor": "0.5",
+        "backoff_warmup_steps": "6",
+        "log_frequency": "1",
+        "learning_rate": "1e-2",
+    }, "trainer")
+    # plateau through the warmup (steps 1-6 worsen after the first),
+    # breakthrough at 7, worsening again at 8+
+    metrics = iter([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 0.5, 7.0, 8.0])
+
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:1])
+    model = build_model(cfg, 6, 4)
+    trainer = Trainer(
+        tconf, model, _make_loader(tmp_path / "d"),
+        str(tmp_path / "exp"),
+        valid_fn=lambda params: next(metrics), mesh=mesh,
+    )
+    result = trainer.train(rng_seed=0)
+
+    # without the warmup this run would have stopped at step 3 with
+    # best 1.0 (see test_early_stopping_backoff_and_restore); instead
+    # it survives the plateau, records the step-7 breakthrough, and
+    # only then spends its two tries
+    assert result["stopped_early"] is True
+    assert result["best_metric"] == 0.5
+    assert result["step"] == 9  # best at 7, two failed tries, stop
+
+
 def test_aggregation_spans_epoch_boundary(tmp_path):
     """numbatches_to_aggregate larger than an epoch: micro-batches
     accumulate across the epoch boundary and the optimizer still steps
