@@ -43,10 +43,13 @@ CONFIGS = [
     "joint_ctc_att_multihost",
 ]
 
-# feature-processing keys carried over from the committed recipes
+# feature-processing keys carried over from the committed recipes,
+# PER SPLIT — speed_perturb only exists on trainfeatures sections, so
+# eval splits never get perturbed
 _FEATURE_KEYS = (
     "processor", "feature", "nfilt", "winlen", "winstep", "nfft",
     "include_energy", "dynamic", "lowfreq", "highfreq",
+    "speed_perturb",
 )
 
 
@@ -200,12 +203,14 @@ def run_config(name: str, splits, alphabet, workdir: str,
         # the tail as committed.
         overrides["valid_frequency"] = 1000
         overrides["sortagrad"] = "true"
-        if name == "las_timit":  # B=32: ~51 steps/epoch
-            overrides["num_epochs"] = 240
+        # 3-way speed perturbation triples steps/epoch, so the epoch
+        # ceilings below keep the same ~9k-step budget
+        if name == "las_timit":  # B=32: ~154 steps/epoch perturbed
+            overrides["num_epochs"] = 60
             overrides["backoff_warmup_steps"] = 6000
-        else:  # B=64: ~25 steps/epoch; CTC head (joint) or scale
-            overrides["num_epochs"] = 360  # (las_large) shortens the
-            overrides["backoff_warmup_steps"] = 4000  # plateau
+        else:  # B=64: ~77 steps/epoch perturbed
+            overrides["num_epochs"] = 120
+            overrides["backoff_warmup_steps"] = 4000
     if quick:
         overrides["num_epochs"] = quick_epochs
         overrides["valid_frequency"] = 0
