@@ -76,10 +76,15 @@ def build_campaign_recipe(
             f"[{split}features]\ndatafile = {scp}\n"
             f"dir = {split}features\n" + "\n".join(keys) + "\n"
         )
+        # targets mirror the features' speed_perturb (id replication
+        # with identical labels) — the loader pairs by utterance id
+        tsec = src.database.section(f"{split}targets")
+        sp = tsec.get("speed_perturb")
         db_lines.append(
             f"[{split}targets]\ndatafile = {text}\n"
             f"dir = {split}targets\nprocessor = text\n"
             f"tokenizer = word\nalphabet = {' '.join(alphabet)}\n"
+            + (f"speed_perturb = {sp}\n" if sp else "")
         )
     with open(os.path.join(out_dir, "database.conf"), "w") as f:
         f.write("\n".join(db_lines))
