@@ -278,8 +278,8 @@ def make_phone40_corpus(
     train_seconds: float = 7200.0,
     dev_seconds: float = 600.0,
     test_seconds: float = 600.0,
-    num_train_speakers: int = 24,
-    num_eval_speakers: int = 6,
+    num_train_speakers: int | None = None,
+    num_eval_speakers: int | None = None,
     seed: int = 0,
     version: int = 1,
 ):
@@ -290,7 +290,19 @@ def make_phone40_corpus(
     at 3.7% vs the 18-20% TIMIT sanity band): independent per-speaker
     F1/F2 warps over a wider range, babble + white noise at 0-15 dB
     SNR, per-utterance channel tilt + room reverb, faster speech with
-    longer coarticulation crossfades."""
+    longer coarticulation crossfades.
+
+    Speaker counts default per version: v1 keeps 24+6+6; v2 uses
+    192 train + 12+12 eval. With independently warped F1/F2, vowel
+    identity is speaker-relative — at 24 train speakers a seq2seq
+    decoder simply memorizes them (measured: teacher-forced accuracy
+    0.92 train / 0.17 on held-out speakers, while CTC generalized to
+    14-18%). TIMIT itself has 462 train speakers; TIMIT-scale
+    difficulty presumes TIMIT-scale speaker variety."""
+    if num_train_speakers is None:
+        num_train_speakers = 192 if version >= 2 else 24
+    if num_eval_speakers is None:
+        num_eval_speakers = 12 if version >= 2 else 6
     rng = np.random.default_rng(seed)
     phones = _phone40_inventory()
     bigram = _phone40_bigram(rng)
