@@ -71,14 +71,26 @@ def _phone40_inventory():
     return phones
 
 
-def _phone40_bigram(rng, n=40, fanout=10):
+def _phone40_bigram(rng, n=40, fanout=10, smoothing=0.02):
     """Sparse random bigram phonotactics: each phone prefers a fixed
     subset of successors (plus smoothing), giving sequences LM-worthy
-    structure without making any transition impossible."""
-    probs = np.full((n, n), 0.02 / n)
+    structure without making any transition impossible.
+
+    ``fanout``/``smoothing`` set the TEXT entropy, and that entropy is
+    a load-bearing difficulty knob for seq2seq models: with fanout 10 /
+    smoothing 0.02 (~2.6 bits/token), a 256-unit speller ROTE-LEARNED
+    the ~1,600 training transcripts outright — teacher-forced accuracy
+    was 0.874 with the matched audio and 0.877 with every utterance
+    paired to the WRONG audio, i.e. attention contributed nothing and
+    free-running decode emitted input-independent babble. Memorizing
+    the text corpus was cheaper for the optimizer than learning to
+    listen. v2 therefore uses fanout 20 / smoothing 0.3 (~4.9
+    bits/token), which keeps bigram structure for LM components but
+    makes transcript recall from token history alone infeasible."""
+    probs = np.full((n, n), smoothing / n)
     for i in range(n):
         succ = rng.choice(n, size=fanout, replace=False)
-        w = rng.dirichlet(np.ones(fanout)) * 0.98
+        w = rng.dirichlet(np.ones(fanout)) * (1.0 - smoothing)
         probs[i, succ] += w
     return probs / probs.sum(axis=1, keepdims=True)
 
@@ -305,7 +317,10 @@ def make_phone40_corpus(
         num_eval_speakers = 12 if version >= 2 else 6
     rng = np.random.default_rng(seed)
     phones = _phone40_inventory()
-    bigram = _phone40_bigram(rng)
+    bigram = (
+        _phone40_bigram(rng, fanout=20, smoothing=0.3)
+        if version >= 2 else _phone40_bigram(rng)
+    )
     n_spk = num_train_speakers + 2 * num_eval_speakers
     if version >= 2:
         w1 = 2.0 ** rng.uniform(-0.3, 0.3, n_spk)
