@@ -252,7 +252,14 @@ def make_phone40_split(
         sig = level * sig
         rms = np.sqrt(np.mean(sig**2) + 1e-9)
         if version >= 2:
-            snr_db = rng.uniform(0.0, 15.0)
+            # 5-20 dB: the babble is built FROM the phone inventory, so
+            # at 0-15 dB the background carries legitimate phone content
+            # nearly as loud as the target — CTC's built-in monotonic
+            # alignment copes, but unsupervised attention alignment has
+            # no anchor to bootstrap from (no real corpus is that
+            # adversarial). 5-20 dB keeps speech-shaped masking well
+            # beyond v1's 10-30 dB white noise.
+            snr_db = rng.uniform(5.0, 20.0)
             noise_rms = rms / (10.0 ** (snr_db / 20.0))
             off = int(rng.integers(max(len(babble) - len(sig), 1)))
             chunk = babble[off:off + len(sig)]
