@@ -648,10 +648,11 @@ def main(argv=None) -> int:
             f"the phone40 v2 corpus ({args.train_seconds / 3600:.1f} h "
             f"train / {args.eval_seconds / 60:.0f} min dev/test, 40 "
             "phone-like tokens, 192 train + 12+12 held-out eval "
-            "speakers with INDEPENDENT F1/F2 vocal-tract warps, bigram "
-            "phonotactics, 30 ms coarticulation crossfades, babble + "
-            "white noise at 0-15 dB SNR, per-utterance channel tilt "
-            "and synthetic room reverb, 3-10 s utterances)."
+            "speakers with INDEPENDENT F1/F2 vocal-tract warps, "
+            "high-entropy bigram phonotactics (~4.9 bits/token), "
+            "babble + white noise at 5-20 dB SNR, per-utterance "
+            "channel tilt and synthetic room reverb, 3-10 s "
+            "utterances at ~11 phones/s)."
         )
     else:
         desc = (

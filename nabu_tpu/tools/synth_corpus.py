@@ -218,7 +218,14 @@ def make_phone40_split(
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     names = [p["name"] for p in phones]
-    xfade = int((0.030 if version >= 2 else 0.020) * RATE)
+    # crossfade/duration are NOT difficulty knobs: an early v2 draft
+    # used 30 ms crossfades + 0.085 s phones (~18 phones/s vs real
+    # speech's 10-15) and blew the pyramidal architectures' design
+    # envelope — a 4x-subsampled encoder emits 25 frames/s, so CTC
+    # alignment was infeasible for 98% of utterances and an 8x
+    # listener could not even emit enough attention steps. Both
+    # versions keep ~11 phones/s.
+    xfade = int(0.020 * RATE)
     babble = _make_babble_track(rng, phones) if version >= 2 else None
     scp_lines, text_lines = [], []
     total, i = 0.0, 0
@@ -229,9 +236,7 @@ def make_phone40_split(
         pieces, syms = [], []
         cur = int(rng.integers(len(phones)))
         dur_sum = 0.0
-        dur_mu, dur_lo, dur_hi = (
-            (0.085, 0.04, 0.20) if version >= 2 else (0.11, 0.05, 0.25)
-        )
+        dur_mu, dur_lo, dur_hi = (0.11, 0.05, 0.25)
         while dur_sum < target_s:
             dur = float(np.clip(rng.lognormal(np.log(dur_mu), 0.3),
                                 dur_lo, dur_hi))
