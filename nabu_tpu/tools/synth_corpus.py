@@ -211,10 +211,10 @@ def make_phone40_split(
 ):
     """Write one split: utterances of 3-10 s, speakers drawn from the
     given list (hold out speakers across splits for generalization).
-    v1: 20 ms crossfades, white noise at 10-30 dB SNR. v2 (the
-    recalibrated hard profile — round-2 verdict Next #3): 30 ms
-    crossfades, faster speech, per-utterance channel tilt + reverb,
-    and babble + white noise at 0-15 dB SNR."""
+    Both versions use 20 ms crossfades and ~11 phones/s. v1: white
+    noise at 10-30 dB SNR. v2 (the recalibrated hard profile —
+    round-2 verdict Next #3): per-utterance channel tilt + reverb,
+    and phone-babble + white noise at 5-20 dB SNR."""
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     names = [p["name"] for p in phones]
@@ -312,9 +312,11 @@ def make_phone40_corpus(
     version 2 is the recalibrated profile (round-2 verdict Next #3:
     v1's white noise at 10-30 dB under-stressed acoustics — CTC landed
     at 3.7% vs the 18-20% TIMIT sanity band): independent per-speaker
-    F1/F2 warps over a wider range, babble + white noise at 0-15 dB
-    SNR, per-utterance channel tilt + room reverb, faster speech with
-    longer coarticulation crossfades.
+    F1/F2 warps over a wider range, phone-babble + white noise at
+    5-20 dB SNR, and per-utterance channel tilt + room reverb; speech
+    rate (~11 phones/s) and 20 ms crossfades are unchanged from v1
+    (both are design-envelope constants, not difficulty knobs — see
+    make_phone40_split).
 
     Speaker counts default per version: v1 keeps 24+6+6; v2 uses
     192 train + 12+12 eval. With independently warped F1/F2, vowel
@@ -488,9 +490,9 @@ def main(argv=None) -> int:
                    help="phone40: dev/test audio seconds each")
     p.add_argument("--corpus_version", type=int, default=2,
                    choices=[1, 2],
-                   help="phone40 difficulty profile (v2 = babble at "
-                        "0-15 dB SNR, channel tilt + reverb, "
-                        "independent F1/F2 speaker warps)")
+                   help="phone40 difficulty profile (v2 = phone-babble "
+                        "+ white noise at 5-20 dB SNR, channel tilt + "
+                        "reverb, independent F1/F2 speaker warps)")
     p.add_argument("--num_symbols", type=int, default=3,
                    help="demo alphabet size (2-5)")
     p.add_argument("--encoder", default="dblstm",
