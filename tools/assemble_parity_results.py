@@ -1,13 +1,16 @@
 """Assemble the committed PARITY_RESULTS.md from campaign row files.
 
 The campaign (tools/parity_campaign.py) writes one JSON row per
-finished config x platform under <workdir>/rows/ and its own local
-table; this script renders the repo-root document: the final-corpus
-table plus the round-2 (corpus v1) recovered rows as an appendix.
+finished config x platform x corpus-scale under <workdir>/rows/; the
+canonical copies live IN THE REPO under parity/rows/ (v2 corpus) and
+parity/rows_v1/ (round-2 recovered v1 rows), so the committed results
+document regenerates from the tree alone (round-3 verdict Next #5):
 
-    python tools/assemble_parity_results.py \
-        --v2 /tmp/parity_v2/rows --v1 /tmp/parity/rows \
-        --out PARITY_RESULTS.md
+    python tools/assemble_parity_results.py --out PARITY_RESULTS.md
+
+After a new campaign leg, copy its row files from <workdir>/rows/
+into parity/rows/ and re-run. Point --v2/--v1 elsewhere to render an
+uncommitted campaign's table.
 """
 
 from __future__ import annotations
@@ -24,14 +27,16 @@ HEADER = """# PARITY RESULTS — the five BASELINE configs, end-to-end
 
 No TIMIT/WSJ audio exists in this environment and the reference mount
 is empty (SURVEY.md §0), so parity evidence uses the strongest
-available proxy: **phone40 v2** — 2 h train / 10 min dev/test audio,
-40 confusable phone-like tokens, 192 train + 12+12 held-out eval
-speakers with independent F1/F2 vocal-tract warps, high-entropy bigram
-phonotactics (~4.9 bits/token), phone-babble + white noise at 5-20 dB
-SNR, per-utterance channel tilt + synthetic room reverb, 3-10 s
-utterances at ~11 phones/s. Every row is a real
-`run data/train/test/decode` pipeline on the committed recipe's model
-architecture (TPU v5e rows on the real chip).
+available proxy: **phone40 v2** — 40 confusable phone-like tokens,
+192 train + 12+12 held-out eval speakers with independent F1/F2
+vocal-tract warps, high-entropy bigram phonotactics (~4.9 bits/token),
+phone-babble + white noise at 5-20 dB SNR, per-utterance channel tilt
++ synthetic room reverb, 3-10 s utterances at ~11 phones/s; 10 min
+dev/test audio, train hours per row in the table (2 h at the original
+calibration scale; 20 h for the attention-scale legs — see the LAS
+section below). Every row is a real `run data/train/test/decode`
+pipeline on the committed recipe's model architecture (TPU v5e rows on
+the real chip).
 
 Literature sanity bands (BASELINE.md): TIMIT BLSTM-CTC ~18-20% PER,
 WSJ LAS ~10-15% WER. The proxy's absolute numbers are not comparable
@@ -110,9 +115,9 @@ Both defects drove the v2 redesign above. Kept for provenance:
 
 def _table(rows):
     lines = [
-        "| Config | Platform | Test token error | Train audio-s/s |"
-        " Steps | Train wall (s) | Decode RTF |",
-        "|---|---|---|---|---|---|---|",
+        "| Config | Platform | Train h | Test token error |"
+        " Train audio-s/s | Steps | Train wall (s) | Decode RTF |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         err = "-" if r["test_error"] is None else f"{r['test_error']:.4f}"
@@ -120,7 +125,8 @@ def _table(rows):
         if r.get("rtf_kind") == "wall":
             rtf += " †"
         lines.append(
-            f"| {r['config']} | {r['platform']} | {err} | "
+            f"| {r['config']} | {r['platform']} | "
+            f"{r.get('corpus_h', 2.0):g} | {err} | "
             f"{r['train_audio_s_per_s']} | {r['steps']} | "
             f"{r['train_wall_s']} | {rtf} |"
         )
@@ -136,15 +142,22 @@ def _load(rows_dir):
     order = {"tpu": 0, "cpu": 1, "multihost-cpu": 2}
     rows.sort(key=lambda r: (
         CONFIGS.index(r["config"]) if r["config"] in CONFIGS else 99,
+        r.get("corpus_h", 2.0),
         order.get(r.get("platform"), 9),
     ))
     return rows
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="assemble_parity_results")
-    p.add_argument("--v2", required=True, help="v2 campaign rows dir")
-    p.add_argument("--v1", default=None, help="v1 recovered rows dir")
+    p.add_argument("--v2", default=os.path.join(_REPO, "parity", "rows"),
+                   help="v2 rows dir (default: committed parity/rows)")
+    p.add_argument("--v1", default=os.path.join(_REPO, "parity",
+                                                "rows_v1"),
+                   help="v1 recovered rows dir (default: committed)")
     p.add_argument("--out", default="PARITY_RESULTS.md")
     p.add_argument("--pending", nargs="*", default=[],
                    help="configs whose v2 runs were still in flight "
