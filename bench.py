@@ -468,7 +468,13 @@ def time_decode(model, params, batch, beam_width, steps, repeats,
     def sync(out):
         return float(jnp.sum(out[2]))
 
-    sync(decode(params, feats, flen))
+    out = decode(params, feats, flen)
+    sync(out)
+    # in-band provenance: the beam state that actually went through the
+    # timed search (round-3 verdict Next #7 — two decode artifacts with
+    # identical RTFs at different --beam_width left no evidence the
+    # flag reached the search)
+    realized_width = int(out[2].shape[1])
     audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
     rtfs = []
     for _ in range(repeats):
@@ -477,7 +483,14 @@ def time_decode(model, params, batch, beam_width, steps, repeats,
             out = decode(params, feats, flen)
         sync(out)
         rtfs.append((time.perf_counter() - t0) / audio_s)
-    return sorted(rtfs)[len(rtfs) // 2]
+    return sorted(rtfs)[len(rtfs) // 2], realized_width
+
+
+def _realized_width(rec, params, feats, flen) -> int:
+    """Beam width of the recognizer's raw search output (before nbest
+    truncation) — proves the configured width reached the search."""
+    scores = rec._decode(params, feats, flen)[2]
+    return int(scores.shape[1])
 
 
 def time_attention_decode(model, params, batch, beam_width, steps,
@@ -496,6 +509,7 @@ def time_attention_decode(model, params, batch, beam_width, steps,
     flen = jnp.asarray(batch["feature_lengths"])
 
     rec(params, feats, flen)
+    realized_width = _realized_width(rec, params, feats, flen)
     audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
     rtfs = []
     for _ in range(repeats):
@@ -503,7 +517,7 @@ def time_attention_decode(model, params, batch, beam_width, steps,
         for _ in range(steps):
             rec(params, feats, flen)
         rtfs.append((time.perf_counter() - t0) / audio_s)
-    return sorted(rtfs)[len(rtfs) // 2]
+    return sorted(rtfs)[len(rtfs) // 2], realized_width
 
 
 def time_joint_decode(model, params, batch, beam_width, steps, repeats):
@@ -525,6 +539,7 @@ def time_joint_decode(model, params, batch, beam_width, steps, repeats):
     flen = jnp.asarray(batch["feature_lengths"])
 
     rec(params, feats, flen)
+    realized_width = _realized_width(rec, params, feats, flen)
     audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
     rtfs = []
     for _ in range(repeats):
@@ -532,7 +547,7 @@ def time_joint_decode(model, params, batch, beam_width, steps, repeats):
         for _ in range(steps):
             rec(params, feats, flen)
         rtfs.append((time.perf_counter() - t0) / audio_s)
-    return sorted(rtfs)[len(rtfs) // 2]
+    return sorted(rtfs)[len(rtfs) // 2], realized_width
 
 
 def time_transducer_decode(model, params, batch, beam_width, steps,
@@ -550,6 +565,7 @@ def time_transducer_decode(model, params, batch, beam_width, steps,
     flen = jnp.asarray(batch["feature_lengths"])
 
     rec(params, feats, flen)
+    realized_width = _realized_width(rec, params, feats, flen)
     audio_s = feats.shape[0] * feats.shape[1] * 0.01 * steps
     rtfs = []
     for _ in range(repeats):
@@ -557,7 +573,7 @@ def time_transducer_decode(model, params, batch, beam_width, steps,
         for _ in range(steps):
             rec(params, feats, flen)
         rtfs.append((time.perf_counter() - t0) / audio_s)
-    return sorted(rtfs)[len(rtfs) // 2]
+    return sorted(rtfs)[len(rtfs) // 2], realized_width
 
 
 def _scaling_child_run(args):
@@ -834,41 +850,48 @@ def main():
 
     if args.mode == "decode":
         if args.model == "las" and args.head == "joint":
-            rtf = time_joint_decode(
+            rtf, width = time_joint_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats,
             )
             metric = "joint_ctc_att_beam_decode_rtf"
         elif args.model == "las" and args.head == "ctc":
-            rtf = time_decode(
+            rtf, width = time_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats, "ctc",
             )
             metric = "ctc_beam_decode_rtf"
         elif args.model == "las":
-            rtf = time_attention_decode(
+            rtf, width = time_attention_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats,
             )
             metric = "attention_beam_decode_rtf"
         elif args.model in ("rnnt", "conformer_rnnt"):
-            rtf = time_transducer_decode(
+            rtf, width = time_transducer_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats,
             )
             metric = "transducer_beam_decode_rtf"
         else:
             head = "decoder" if "decoder" in model.decoders else "ctc"
-            rtf = time_decode(
+            rtf, width = time_decode(
                 model, params, batch, args.beam_width,
                 max(args.steps // 4, 1), args.repeats, head,
             )
             metric = "ctc_beam_decode_rtf"
+        if width != args.beam_width:
+            raise SystemExit(
+                f"--beam_width {args.beam_width} did not reach the "
+                f"search (realized width {width})"
+            )
         print(json.dumps({
             "metric": metric,
             "value": round(rtf, 5),
             "unit": "rtf",
             "vs_baseline": 1.0,
+            "beam_width_realized": width,
+            "batch": int(batch["features"].shape[0]),
         }))
         return
 
