@@ -510,6 +510,15 @@ def backfill_row(name: str, workdir: str, platform: str = "tpu"):
     }
 
 
+def row_filename(row: dict) -> str:
+    """Row files are keyed by config x platform x corpus scale:
+    a 20 h las row must not overwrite (or be confused with) the 2 h
+    row it is being compared against for the hours-vs-error story."""
+    h = row.get("corpus_h", 2.0)
+    tag = "" if h == 2.0 else f"_{h:g}h"
+    return f"{row['config']}_{row['platform']}{tag}.json"
+
+
 def write_results(path: str, rows, corpus_desc: str) -> None:
     lines = [
         "# PARITY RESULTS — BASELINE configs on the phone40 proxy corpus",
@@ -668,14 +677,7 @@ def main(argv=None) -> int:
     os.makedirs(rows_dir, exist_ok=True)
 
     def _save_row(row):
-        # corpus scale is part of a row's identity: a 20 h las row
-        # must not overwrite (or be confused with) the 2 h row it is
-        # being compared against for the hours-vs-error story
-        h = row.get("corpus_h", 2.0)
-        tag = "" if h == 2.0 else f"_{h:g}h"
-        path = os.path.join(
-            rows_dir, f"{row['config']}_{row['platform']}{tag}.json"
-        )
+        path = os.path.join(rows_dir, row_filename(row))
         with open(path, "w") as f:
             json.dump(row, f)
         print(json.dumps(row), flush=True)

@@ -175,3 +175,39 @@ def test_phone40_v2_split_generates_audio(tmp_path):
     # transcripts use the 40-phone alphabet
     names = {p["name"] for p in phones}
     assert set(texts[0].split()[1:]) <= names
+
+
+def test_write_results_corpus_hours_column(tmp_path):
+    """Rows carry corpus_h and the table renders a Train h column so
+    2 h calibration rows and 20 h attention-scale rows coexist
+    (round-3 verdict Next #1)."""
+    rows = [
+        {"config": "las_timit", "platform": "tpu", "corpus_h": 2.0,
+         "test_error": 0.92, "train_audio_s_per_s": 1450.0,
+         "steps": 7560, "train_wall_s": 1360.0, "decode_rtf": 0.001},
+        {"config": "las_timit", "platform": "tpu", "corpus_h": 20.0,
+         "test_error": 0.25, "train_audio_s_per_s": 2000.0,
+         "steps": 24000, "train_wall_s": 2500.0, "decode_rtf": 0.001},
+    ]
+    path = tmp_path / "r.md"
+    write_results(str(path), rows, "desc")
+    text = path.read_text()
+    assert "| Train h |" in text
+    assert "| las_timit | tpu | 2 | 0.9200 |" in text
+    assert "| las_timit | tpu | 20 | 0.2500 |" in text
+
+
+def test_row_filename_tags_corpus_scale():
+    """A 20 h row must not overwrite the 2 h row for the same
+    config x platform: the filename carries the corpus tag."""
+    from nabu_tpu.tools.parity_campaign import row_filename
+
+    base = {"config": "las_timit", "platform": "tpu"}
+    assert row_filename({**base, "corpus_h": 2.0}) == "las_timit_tpu.json"
+    assert row_filename(base) == "las_timit_tpu.json"  # legacy rows
+    assert row_filename(
+        {**base, "corpus_h": 20.0}
+    ) == "las_timit_tpu_20h.json"
+    assert row_filename(
+        {**base, "platform": "cpu", "corpus_h": 0.5}
+    ) == "las_timit_cpu_0.5h.json"
