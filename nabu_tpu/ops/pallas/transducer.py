@@ -87,23 +87,36 @@ def _suffix_lse(x):
     return x
 
 
-def _joint_row(encp_t, predp, w, b, onehot, umask, blank_id):
-    """One frame of the joint: returns (h [B,U1p,Jp] bf16,
-    sm f32, lp_blank [B,U1p], lp_emit [B,U1p])."""
-    B, U1p, Jp = predp.shape
-    x = encp_t[:, None, :] + predp  # [B, U1p, Jp]
+def _joint_rows(encp_st, predp, w, b, onehot, umask, blank_id):
+    """``st`` frames of the joint, BATCHED OFF THE DP CHAIN: returns
+    (h [st,B,U1p,Jp] bf16, lp [st,B,U1p,Vp] f32, lp_blank [st,B,U1p],
+    lp_emit [st,B,U1p]).
+
+    Only the prefix-logsumexp alpha/beta recurrence is truly serial in
+    the transducer; the joint (tanh + [.,Jp]x[Jp,Vp] matmul + softmax)
+    per frame is not. Computing it per frame inside the DP loop
+    serializes MXU work behind VPU work and runs the matmul at
+    M = B*U1p; batching ``st`` frames runs one M = st*B*U1p matmul per
+    sub-block with the DP loop consuming precomputed lp rows — the
+    same block-batching that won +24% in the BLSTM backward
+    (README performance model). Roofline (tools/roofline.py) measured
+    the per-frame variant at ~16% of attainable with the gap exactly
+    here."""
+    st, B, Jp = encp_st.shape
+    U1p = predp.shape[1]
+    x = encp_st[:, :, None, :] + predp[None]  # [st, B, U1p, Jp]
     h = jnp.tanh(x)
     logits = jax.lax.dot_general(
-        h.reshape(B * U1p, Jp), w,
+        h.reshape(st * B * U1p, Jp), w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + b  # [B*U1p, Vp]; padded V lanes carry NEG bias
+    ) + b  # [st*B*U1p, Vp]; padded V lanes carry NEG bias
     m = jnp.max(logits, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-    lp = (logits - lse).reshape(B, U1p, -1)
-    lp_blank = lp[:, :, blank_id]
+    lp = (logits - lse).reshape(st, B, U1p, -1)
+    lp_blank = lp[..., blank_id]
     lp_emit = jnp.where(
-        umask > 0.5, jnp.sum(lp * onehot, axis=-1), NEG
+        umask[None] > 0.5, jnp.sum(lp * onehot[None], axis=-1), NEG
     )
     return h, lp, lp_blank, lp_emit
 
@@ -123,6 +136,7 @@ def _fwd_kernel(
     *,
     block_t: int,
     blank_id: int,
+    sub_t: int,
 ):
     j = pl.program_id(0)
     tlen = tlen_ref[:]  # [B, 1]
@@ -135,30 +149,39 @@ def _fwd_kernel(
         alpha_s[:] = jnp.full_like(alpha_s, NEG)
         lpb_s[:] = jnp.zeros_like(lpb_s)
 
-    def body(i, _):
-        t = j * block_t + i
-        _, _, lp_blank, lp_emit = _joint_row(
-            encp_ref[i], predp_ref[:], w_ref[:], b_ref[:],
-            onehot_ref[:], umask_ref[:], blank_id,
+    def sub_body(s, _):
+        base = s * sub_t
+        # joint for sub_t frames in one batched matmul, off the chain
+        _, _, lpb_sub, lpe_sub = _joint_rows(
+            encp_ref[pl.ds(base, sub_t)], predp_ref[:], w_ref[:],
+            b_ref[:], onehot_ref[:], umask_ref[:], blank_id,
         )
-        # e[u] = lp_emit[u-1], e[0] = 0 (cumsum offset only)
-        e = _shift_right(lp_emit, 1, 0.0)
-        E = _prefix_sum(e)
-        first = jnp.maximum(E, NEG)  # alpha at t = 0
-        base = alpha_s[:] + lpb_s[:]
-        trans = jnp.maximum(E + _prefix_lse(base - E), NEG)
-        is_first = jnp.full(first.shape, t == 0, dtype=bool)
-        new = jnp.where(is_first, first, trans)
-        valid = tlen > t  # [B, 1] row mask; freeze finished lanes
-        new = jnp.where(valid, new, alpha_s[:])
-        new_lpb = jnp.where(valid, lp_blank, lpb_s[:])
-        alpha_s[:] = new
-        lpb_s[:] = new_lpb
-        alpha_out_ref[i] = new
-        lpb_out_ref[i] = new_lpb
+
+        def body(i, _):
+            t = j * block_t + base + i
+            lp_blank = lpb_sub[i]
+            lp_emit = lpe_sub[i]
+            # e[u] = lp_emit[u-1], e[0] = 0 (cumsum offset only)
+            e = _shift_right(lp_emit, 1, 0.0)
+            E = _prefix_sum(e)
+            first = jnp.maximum(E, NEG)  # alpha at t = 0
+            base_row = alpha_s[:] + lpb_s[:]
+            trans = jnp.maximum(E + _prefix_lse(base_row - E), NEG)
+            is_first = jnp.full(first.shape, t == 0, dtype=bool)
+            new = jnp.where(is_first, first, trans)
+            valid = tlen > t  # [B, 1] row mask; freeze finished lanes
+            new = jnp.where(valid, new, alpha_s[:])
+            new_lpb = jnp.where(valid, lp_blank, lpb_s[:])
+            alpha_s[:] = new
+            lpb_s[:] = new_lpb
+            alpha_out_ref[base + i] = new
+            lpb_out_ref[base + i] = new_lpb
+            return 0
+
+        jax.lax.fori_loop(0, sub_t, body, 0)
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    jax.lax.fori_loop(0, block_t // sub_t, sub_body, 0)
 
 
 def _bwd_kernel(
@@ -184,6 +207,7 @@ def _bwd_kernel(
     *,
     block_t: int,
     blank_id: int,
+    sub_t: int,
 ):
     j = pl.program_id(0)
     nprog = pl.num_programs(0)
@@ -200,67 +224,96 @@ def _bwd_kernel(
 
     B, U1p, Jp = predp_ref.shape
 
-    def body(k, _):
-        i = block_t - 1 - k
-        t = (nprog - 1 - j) * block_t + i
-        h, lp, lp_blank, lp_emit = _joint_row(
-            encp_ref[i], predp_ref[:], w_ref[:], b_ref[:],
-            onehot_ref[:], umask_ref[:], blank_id,
+    def sub_body(sk, _):
+        # sub-blocks walk backward through the time block
+        base = (block_t // sub_t - 1 - sk) * sub_t
+        # phase A (batched, off-chain): recompute the joint for sub_t
+        # frames in one matmul
+        h, lp, lpb_sub, lpe_sub = _joint_rows(
+            encp_ref[pl.ds(base, sub_t)], predp_ref[:], w_ref[:],
+            b_ref[:], onehot_ref[:], umask_ref[:], blank_id,
         )
-        # beta[t+1] row: the carry, except the termination row at the
-        # lane's final frame
-        at_final = tlen - 1 <= t  # [B, 1] (== for valid t, < for past)
-        beta_next = jnp.where(at_final, beta_init_ref[:], beta_s[:])
-        # closed-form reverse u-recurrence:
-        # beta[u] = lse_{k>=u}( v[k] + sum_{j=u..k-1} e2[j] );
-        # e2 is zeroed (not NEG) at invalid u — any path crossing an
-        # invalid emission already dies through v[k>U_b] = NEG
-        v = lp_blank + beta_next
-        e2 = jnp.where(umask_ref[:] > 0.5, lp_emit, 0.0)
-        S = _prefix_sum(_shift_right(e2, 1, 0.0))  # exclusive prefix
-        new_beta = jnp.maximum(-S + _suffix_lse(v + S), NEG)
-        beta_shift = _shift_left(new_beta, 1, NEG)  # beta[t, u+1]
 
-        alpha = alpha_ref[i]
-        # transition occupancies (clamped exponents, masked past length)
-        t_ok = tlen > t  # [B, 1]
-        gb = jnp.exp(jnp.minimum(alpha + lp_blank + beta_next - ll, 0.0))
-        ge = jnp.exp(jnp.minimum(alpha + lp_emit + beta_shift - ll, 0.0))
-        gb = jnp.where(t_ok, gb, 0.0) * g
-        ge = jnp.where(t_ok, ge, 0.0) * g
+        # phase B (serial): beta recurrence over the sub_t frames in
+        # reverse, collecting the blank/emit occupancies per frame
+        def body(k, carry):
+            gb_sub, ge_sub = carry
+            i = sub_t - 1 - k
+            t = (nprog - 1 - j) * block_t + base + i
+            lp_blank = lpb_sub[i]
+            lp_emit = lpe_sub[i]
+            # beta[t+1] row: the carry, except the termination row at
+            # the lane's final frame
+            at_final = tlen - 1 <= t  # [B,1] (== valid t, < past)
+            beta_next = jnp.where(at_final, beta_init_ref[:], beta_s[:])
+            # closed-form reverse u-recurrence:
+            # beta[u] = lse_{k>=u}( v[k] + sum_{j=u..k-1} e2[j] );
+            # e2 is zeroed (not NEG) at invalid u — any path crossing
+            # an invalid emission already dies through v[k>U_b] = NEG
+            v = lp_blank + beta_next
+            e2 = jnp.where(umask_ref[:] > 0.5, lp_emit, 0.0)
+            S = _prefix_sum(_shift_right(e2, 1, 0.0))  # excl. prefix
+            new_beta = jnp.maximum(-S + _suffix_lse(v + S), NEG)
+            beta_shift = _shift_left(new_beta, 1, NEG)  # beta[t, u+1]
 
-        # dlogits = gb*(sm - 1_blank) + ge*(sm - 1_emit)   [for loss=-ll]
-        sm = jnp.exp(lp)  # [B, U1p, Vp]
-        gsum = gb + ge  # [B, U1p]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 2)
+            alpha = alpha_ref[base + i]
+            # transition occupancies (clamped exponents, masked past
+            # length)
+            t_ok = tlen > t  # [B, 1]
+            gb = jnp.exp(
+                jnp.minimum(alpha + lp_blank + beta_next - ll, 0.0)
+            )
+            ge = jnp.exp(
+                jnp.minimum(alpha + lp_emit + beta_shift - ll, 0.0)
+            )
+            gb = jnp.where(t_ok, gb, 0.0) * g
+            ge = jnp.where(t_ok, ge, 0.0) * g
+            gb_sub = jax.lax.dynamic_update_slice(
+                gb_sub, gb[None], (i, 0, 0)
+            )
+            ge_sub = jax.lax.dynamic_update_slice(
+                ge_sub, ge[None], (i, 0, 0)
+            )
+            beta_s[:] = jnp.where(t_ok, new_beta, beta_s[:])
+            return gb_sub, ge_sub
+
+        zeros = jnp.zeros((sub_t, B, U1p), jnp.float32)
+        gb_sub, ge_sub = jax.lax.fori_loop(
+            0, sub_t, body, (zeros, zeros)
+        )
+
+        # phase C (batched): gradients for the whole sub-block.
+        # dlogits = gb*(sm - 1_blank) + ge*(sm - 1_emit) [loss = -ll]
+        sm = jnp.exp(lp)  # [sub_t, B, U1p, Vp]
+        gsum = gb_sub + ge_sub  # [sub_t, B, U1p]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 3)
         blank_onehot = (lanes == blank_id).astype(jnp.float32)
         dlogits = (
             gsum[..., None] * sm
-            - gb[..., None] * blank_onehot
-            - ge[..., None] * onehot_ref[:]
-        )  # [B, U1p, Vp] f32
+            - gb_sub[..., None] * blank_onehot
+            - ge_sub[..., None] * onehot_ref[:][None]
+        )  # [sub_t, B, U1p, Vp] f32
 
-        # backprop through the joint
-        d2 = dlogits.reshape(B * U1p, -1).astype(jnp.bfloat16)
+        # backprop through the joint — one matmul pair per sub-block
+        d2 = dlogits.reshape(sub_t * B * U1p, -1).astype(jnp.bfloat16)
         dh = jax.lax.dot_general(
             d2, w_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(B, U1p, Jp)
+        ).reshape(sub_t, B, U1p, Jp)
         hf = h.astype(jnp.float32)
-        dx = (1.0 - hf * hf) * dh  # [B, U1p, Jp] f32
-        denc_out_ref[i] = jnp.sum(dx, axis=1)  # [B, Jp]
-        dpred_s[:] = dpred_s[:] + dx
+        dx = (1.0 - hf * hf) * dh  # [sub_t, B, U1p, Jp] f32
+        denc_out_ref[pl.ds(base, sub_t)] = jnp.sum(dx, axis=2)
+        dpred_s[:] = dpred_s[:] + jnp.sum(dx, axis=0)
         dw_s[:] = dw_s[:] + jax.lax.dot_general(
-            h.reshape(B * U1p, Jp), d2,
+            h.reshape(sub_t * B * U1p, Jp), d2,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        db_s[:] = db_s[:] + jnp.sum(dlogits, axis=1)
-        beta_s[:] = jnp.where(t_ok, new_beta, beta_s[:])
+        db_s[:] = db_s[:] + jnp.sum(dlogits, axis=(0, 2))
         return 0
 
-    jax.lax.fori_loop(0, block_t, body, 0)
+    jax.lax.fori_loop(0, block_t // sub_t, sub_body, 0)
     dpred_out_ref[:] = dpred_s[:]
     dw_out_ref[:] = dw_s[:]
     db_out_ref[:] = db_s[:]
@@ -298,8 +351,17 @@ def _prepare(enc_proj, pred_proj, w_out, b_out, targets, target_lengths):
     return encp, predp, w, b, onehot, umask, Bp, U1p, Jp, Vp
 
 
+def _effective_sub_t(sub_t: int, bt: int) -> int:
+    """Largest divisor of bt that is <= sub_t (sub-blocks must tile
+    the time block exactly)."""
+    st = max(1, min(sub_t, bt))
+    while bt % st:
+        st -= 1
+    return st
+
+
 def _run_forward(encp, predp, w, b, onehot, umask, tlen, interpret,
-                 block_t, blank_id):
+                 block_t, blank_id, sub_t):
     T, Bp, Jp = encp.shape
     U1p = predp.shape[1]
     bt = min(block_t, T)
@@ -309,7 +371,8 @@ def _run_forward(encp, predp, w, b, onehot, umask, tlen, interpret,
     nb = Tp // bt
 
     alphas, lpbs = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_t=bt, blank_id=blank_id),
+        functools.partial(_fwd_kernel, block_t=bt, blank_id=blank_id,
+                          sub_t=_effective_sub_t(sub_t, bt)),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((bt, Bp, Jp), lambda j: (j, 0, 0),
@@ -348,7 +411,7 @@ def _run_forward(encp, predp, w, b, onehot, umask, tlen, interpret,
 
 
 def _fused_fwd(enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
-               target_lengths, blank_id, interpret, block_t):
+               target_lengths, blank_id, interpret, block_t, sub_t):
     if interpret is None:
         interpret = not on_tpu()
     B, T, J = enc_proj.shape
@@ -361,7 +424,7 @@ def _fused_fwd(enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
     )
     alphas, lpbs, encp_p, nb, bt = _run_forward(
         encp, predp, w, b, onehot, umask, tlen, interpret, block_t,
-        blank_id,
+        blank_id, sub_t,
     )
     # ll = alpha[t_last, U_b] + lp_blank[t_last, U_b]
     t_last = jnp.maximum(logit_lengths.astype(jnp.int32) - 1, 0)
@@ -382,7 +445,7 @@ def _fused_fwd(enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
     return nll, res
 
 
-def _fused_bwd(blank_id, interpret, block_t, res, g):
+def _fused_bwd(blank_id, interpret, block_t, sub_t, res, g):
     if interpret is None:
         interpret = not on_tpu()
     (enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
@@ -416,7 +479,8 @@ def _fused_bwd(blank_id, interpret, block_t, res, g):
     g_pad = jnp.where(ll_pad > NEG / 2, g_pad, 0.0)
 
     denc, dpred, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, block_t=bt, blank_id=blank_id),
+        functools.partial(_bwd_kernel, block_t=bt, blank_id=blank_id,
+                          sub_t=_effective_sub_t(sub_t, bt)),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((bt, Bp, Jp), lambda j, nb=nb: (nb - 1 - j, 0, 0),
@@ -480,13 +544,13 @@ def _fused_bwd(blank_id, interpret, block_t, res, g):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _transducer_fused(enc_proj, pred_proj, w_out, b_out, logit_lengths,
                       targets, target_lengths, blank_id, interpret,
-                      block_t):
+                      block_t, sub_t):
     nll, _ = _fused_fwd(
         enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
-        target_lengths, blank_id, interpret, block_t,
+        target_lengths, blank_id, interpret, block_t, sub_t,
     )
     return nll
 
@@ -505,16 +569,24 @@ def transducer_loss_fused(
     blank_id: int | None = None,
     interpret: bool | None = None,
     block_t: int = 32,
+    sub_t: int = 1,
 ) -> jnp.ndarray:
     """Per-example RNN-T NLL with the joint network fused into the
     lattice DP (no [B,T,U,V] or [B,T,U,J] tensors ever reach HBM).
     blank defaults to the last output index.
 
-    The backward keeps a [B, U+1, J] f32 gradient accumulator plus a
-    few same-sized intermediates fully VMEM-resident; configs whose
-    working set would blow the VMEM budget (huge batch x long targets x
-    wide joint) fall back to the rematerialized-lattice oracle path at
-    trace time rather than failing to compile.
+    ``sub_t`` batches the joint (tanh + output matmul + softmax) over
+    that many frames per sub-block, off the serial DP chain — only the
+    prefix-logsumexp recurrence stays per-frame (roofline analysis:
+    the per-frame variant serialized MXU work behind VPU work and sat
+    at ~16% of attainable; see BENCH_extra/roofline.json).
+
+    The backward keeps a [B, U+1, J] f32 gradient accumulator plus
+    sub_t frames of f32 intermediates fully VMEM-resident; configs
+    whose working set would blow the VMEM budget (huge batch x long
+    targets x wide joint) first shrink sub_t, then fall back to the
+    rematerialized-lattice oracle path at trace time rather than
+    failing to compile.
     """
     V = w_out.shape[1]
     if blank_id is None:
@@ -525,10 +597,21 @@ def transducer_loss_fused(
     U1 = pred_proj.shape[1]
     Bp, U1p = _round_up(B, 8), _round_up(U1, 128)
     Jp, Vp = _round_up(J, 128), _round_up(V, 128)
-    # dominant backward working set: dpred_s + ~3 dx/dh-sized f32
-    # intermediates + the one-hot table (all [Bp, U1p, ·] f32)
-    est = Bp * U1p * (4 * Jp * 4 + Vp * 8)
-    if est > 80 * 1024 * 1024:
+
+    def _est(st):
+        # dominant backward working set, all [Bp,U1p,·]: dpred scratch
+        # + dpred output + predp input (bf16) + one-hot table, plus
+        # per-sub-block batched intermediates (h bf16, dx f32 — dh
+        # fuses into it — and lp/sm/dlogits f32 over Vp lanes)
+        return Bp * U1p * (
+            Jp * (4 + 4 + 2) + Vp * 4
+            + st * (Jp * (2 + 4) + Vp * 12)
+        )
+
+    sub_t = max(1, sub_t)
+    while sub_t > 1 and _est(sub_t) > 80 * 1024 * 1024:
+        sub_t //= 2
+    if _est(sub_t) > 80 * 1024 * 1024:
         from nabu_tpu.ops.transducer import transducer_loss
 
         def lattice(e, p, w_, b_):
@@ -546,5 +629,5 @@ def transducer_loss_fused(
 
     return _transducer_fused(
         enc_proj, pred_proj, w_out, b_out, logit_lengths, targets,
-        target_lengths, blank_id, interpret, block_t,
+        target_lengths, blank_id, interpret, block_t, sub_t,
     )

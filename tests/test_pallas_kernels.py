@@ -494,3 +494,41 @@ class TestTransducerFusedEdgeCases:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestTransducerSubBlock:
+    """sub_t (frames of joint batched off the DP chain) is a pure
+    scheduling knob: every value must produce identical losses AND
+    gradients — the math is unchanged, only the matmul granularity."""
+
+    def test_sub_t_values_agree(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nabu_tpu.ops.pallas.transducer import transducer_loss_fused
+
+        case = TestTransducerFused()._case(seed=3, B=3, T=9, U=4,
+                                           J=16, V=5)
+        enc, pred, w, b, targets, tlen, llen = (
+            jnp.asarray(a) for a in case
+        )
+
+        def loss(sub_t):
+            def f(enc, pred, w):
+                return transducer_loss_fused(
+                    enc, pred, w, b, llen, targets, tlen,
+                    block_t=4, sub_t=sub_t,
+                ).sum()
+
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(enc, pred, w)
+
+        ref_l, ref_g = loss(1)
+        for st in (2, 3, 4):  # 3 exercises the divisor fallback
+            got_l, got_g = loss(st)
+            np.testing.assert_allclose(
+                np.asarray(got_l), np.asarray(ref_l), rtol=1e-6
+            )
+            for a, bb in zip(ref_g, got_g):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6
+                )
