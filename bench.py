@@ -724,7 +724,10 @@ def run_scaling(args):
         "cpu_mesh_caveat": (
             f"virtual devices share {cores} physical cores; rows with "
             f"devices > {cores} measure core oversubscription, not "
-            "partition/collective overhead"
+            "partition/collective overhead, and ALL rows are timing "
+            "noise unless the host is otherwise idle (the mesh rows "
+            "are primarily a functional check that the partitioned "
+            "program compiles and runs at every n)"
         ),
     }))
 

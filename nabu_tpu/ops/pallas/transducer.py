@@ -133,6 +133,8 @@ def _fwd_kernel(
     lpb_out_ref,  # [bt, B, U1p] f32
     alpha_s,  # VMEM [B, U1p] f32
     lpb_s,  # VMEM [B, U1p] f32
+    lpb_sub_s,  # VMEM [sub_t, B, U1p] f32
+    lpe_sub_s,  # VMEM [sub_t, B, U1p] f32
     *,
     block_t: int,
     blank_id: int,
@@ -151,16 +153,20 @@ def _fwd_kernel(
 
     def sub_body(s, _):
         base = s * sub_t
-        # joint for sub_t frames in one batched matmul, off the chain
+        # joint for sub_t frames in one batched matmul, off the chain.
+        # The rows go through VMEM scratch: Mosaic supports dynamic
+        # scalar indexing on REFS but not on loop values.
         _, _, lpb_sub, lpe_sub = _joint_rows(
             encp_ref[pl.ds(base, sub_t)], predp_ref[:], w_ref[:],
             b_ref[:], onehot_ref[:], umask_ref[:], blank_id,
         )
+        lpb_sub_s[:] = lpb_sub
+        lpe_sub_s[:] = lpe_sub
 
         def body(i, _):
             t = j * block_t + base + i
-            lp_blank = lpb_sub[i]
-            lp_emit = lpe_sub[i]
+            lp_blank = lpb_sub_s[i]
+            lp_emit = lpe_sub_s[i]
             # e[u] = lp_emit[u-1], e[0] = 0 (cumsum offset only)
             e = _shift_right(lp_emit, 1, 0.0)
             E = _prefix_sum(e)
@@ -204,6 +210,10 @@ def _bwd_kernel(
     dpred_s,  # VMEM [B, U1p, Jp] f32
     dw_s,  # VMEM [Jp, Vp] f32
     db_s,  # VMEM [B, Vp] f32
+    lpb_sub_s,  # VMEM [sub_t, B, U1p] f32
+    lpe_sub_s,  # VMEM [sub_t, B, U1p] f32
+    gb_sub_s,  # VMEM [sub_t, B, U1p] f32
+    ge_sub_s,  # VMEM [sub_t, B, U1p] f32
     *,
     block_t: int,
     blank_id: int,
@@ -233,15 +243,18 @@ def _bwd_kernel(
             encp_ref[pl.ds(base, sub_t)], predp_ref[:], w_ref[:],
             b_ref[:], onehot_ref[:], umask_ref[:], blank_id,
         )
+        # rows through VMEM scratch: Mosaic supports dynamic scalar
+        # indexing on REFS but not on loop values
+        lpb_sub_s[:] = lpb_sub
+        lpe_sub_s[:] = lpe_sub
 
         # phase B (serial): beta recurrence over the sub_t frames in
         # reverse, collecting the blank/emit occupancies per frame
-        def body(k, carry):
-            gb_sub, ge_sub = carry
+        def body(k, _):
             i = sub_t - 1 - k
             t = (nprog - 1 - j) * block_t + base + i
-            lp_blank = lpb_sub[i]
-            lp_emit = lpe_sub[i]
+            lp_blank = lpb_sub_s[i]
+            lp_emit = lpe_sub_s[i]
             # beta[t+1] row: the carry, except the termination row at
             # the lane's final frame
             at_final = tlen - 1 <= t  # [B,1] (== valid t, < past)
@@ -268,19 +281,14 @@ def _bwd_kernel(
             )
             gb = jnp.where(t_ok, gb, 0.0) * g
             ge = jnp.where(t_ok, ge, 0.0) * g
-            gb_sub = jax.lax.dynamic_update_slice(
-                gb_sub, gb[None], (i, 0, 0)
-            )
-            ge_sub = jax.lax.dynamic_update_slice(
-                ge_sub, ge[None], (i, 0, 0)
-            )
+            gb_sub_s[i] = gb
+            ge_sub_s[i] = ge
             beta_s[:] = jnp.where(t_ok, new_beta, beta_s[:])
-            return gb_sub, ge_sub
+            return 0
 
-        zeros = jnp.zeros((sub_t, B, U1p), jnp.float32)
-        gb_sub, ge_sub = jax.lax.fori_loop(
-            0, sub_t, body, (zeros, zeros)
-        )
+        jax.lax.fori_loop(0, sub_t, body, 0)
+        gb_sub = gb_sub_s[:]
+        ge_sub = ge_sub_s[:]
 
         # phase C (batched): gradients for the whole sub-block.
         # dlogits = gb*(sm - 1_blank) + ge*(sm - 1_emit) [loss = -ll]
@@ -403,6 +411,10 @@ def _run_forward(encp, predp, w, b, onehot, umask, tlen, interpret,
         scratch_shapes=[
             pltpu.VMEM((Bp, U1p), jnp.float32),
             pltpu.VMEM((Bp, U1p), jnp.float32),
+            pltpu.VMEM((_effective_sub_t(sub_t, bt), Bp, U1p),
+                       jnp.float32),
+            pltpu.VMEM((_effective_sub_t(sub_t, bt), Bp, U1p),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -527,6 +539,14 @@ def _fused_bwd(blank_id, interpret, block_t, sub_t, res, g):
             pltpu.VMEM((Bp, U1p, Jp), jnp.float32),
             pltpu.VMEM((Jp, Vp), jnp.float32),
             pltpu.VMEM((Bp, Vp), jnp.float32),
+            pltpu.VMEM((_effective_sub_t(sub_t, bt), Bp, U1p),
+                       jnp.float32),
+            pltpu.VMEM((_effective_sub_t(sub_t, bt), Bp, U1p),
+                       jnp.float32),
+            pltpu.VMEM((_effective_sub_t(sub_t, bt), Bp, U1p),
+                       jnp.float32),
+            pltpu.VMEM((_effective_sub_t(sub_t, bt), Bp, U1p),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -569,7 +589,7 @@ def transducer_loss_fused(
     blank_id: int | None = None,
     interpret: bool | None = None,
     block_t: int = 32,
-    sub_t: int = 1,
+    sub_t: int = 4,
 ) -> jnp.ndarray:
     """Per-example RNN-T NLL with the joint network fused into the
     lattice DP (no [B,T,U,V] or [B,T,U,J] tensors ever reach HBM).
@@ -577,9 +597,14 @@ def transducer_loss_fused(
 
     ``sub_t`` batches the joint (tanh + output matmul + softmax) over
     that many frames per sub-block, off the serial DP chain — only the
-    prefix-logsumexp recurrence stays per-frame (roofline analysis:
-    the per-frame variant serialized MXU work behind VPU work and sat
-    at ~16% of attainable; see BENCH_extra/roofline.json).
+    prefix-logsumexp recurrence stays per-frame. A/B on the chip
+    (quiet host, B=32 T'=250 U=100 J=320 V=32, fwd+bwd, overhead
+    subtracted): sub_t 1 -> 5.76 ms, 2 -> 5.64, 4 -> 5.41;
+    block_t 64 + sub_t 8 -> 5.29 (kept at the safe 32/4 default —
+    the tail of the gain is small and bigger blocks scale VMEM with
+    B). The kernel is VPU-elementwise-bound after batching (softmax +
+    emit-gather + dlogits passes over the padded V lanes), not
+    matmul-serialization-bound; see BENCH_extra/roofline.json.
 
     The backward keeps a [B, U+1, J] f32 gradient accumulator plus
     sub_t frames of f32 intermediates fully VMEM-resident; configs

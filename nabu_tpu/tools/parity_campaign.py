@@ -236,6 +236,15 @@ def run_config(name: str, splits, alphabet, workdir: str,
             overrides["num_epochs"] = max(
                 6, round(target_steps / steps_per_epoch)
             )
+            # the backoff grace must scale WITH the step budget: on
+            # the first 20 h run the 2 h warmup (6,000 of 24,000
+            # steps) expired mid-plateau — dev error sat at ~0.89
+            # around step 11-13k while alignment was still forming,
+            # and restore-best + LR backoff + early stopping would
+            # have killed the run at ~15k exactly as the 2 h
+            # diagnosis predicts. 60% of the budget keeps the same
+            # proportion the 2 h recipes were tuned to.
+            overrides["backoff_warmup_steps"] = int(0.6 * target_steps)
     if quick:
         overrides["num_epochs"] = quick_epochs
         overrides["valid_frequency"] = 0
