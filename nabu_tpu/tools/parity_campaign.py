@@ -164,7 +164,7 @@ def _test_audio_seconds(expdir: str) -> float:
 def run_config(name: str, splits, alphabet, workdir: str,
                platform: str | None = None, quick: bool = False,
                quick_epochs: int = 2, resume: bool = False,
-               train_seconds: float = 7200.0):
+               train_seconds: float = 7200.0, corpus_version: int = 2):
     """data -> train -> test -> decode for one BASELINE config.
 
     ``resume`` skips stages whose outputs already exist in the expdir
@@ -322,6 +322,7 @@ def run_config(name: str, splits, alphabet, workdir: str,
         "config": name,
         "platform": platform or "tpu",
         "corpus_h": round(train_seconds / 3600.0, 1),
+        "corpus_version": corpus_version,
         "test_error": err,
         "train_audio_s_per_s": round(audio_rate, 1),
         "steps": steps,
@@ -520,12 +521,14 @@ def backfill_row(name: str, workdir: str, platform: str = "tpu"):
 
 
 def row_filename(row: dict) -> str:
-    """Row files are keyed by config x platform x corpus scale:
-    a 20 h las row must not overwrite (or be confused with) the 2 h
-    row it is being compared against for the hours-vs-error story."""
+    """Row files are keyed by config x platform x corpus scale x
+    corpus version: a 20 h (or v3-acoustics) las row must not
+    overwrite the 2 h v2 row it is being compared against."""
     h = row.get("corpus_h", 2.0)
+    v = row.get("corpus_version", 2)
     tag = "" if h == 2.0 else f"_{h:g}h"
-    return f"{row['config']}_{row['platform']}{tag}.json"
+    vtag = "" if v == 2 else f"_v{v}"
+    return f"{row['config']}_{row['platform']}{tag}{vtag}.json"
 
 
 def write_results(path: str, rows, corpus_desc: str) -> None:
@@ -541,7 +544,7 @@ def write_results(path: str, rows, corpus_desc: str) -> None:
         "comparable 1:1, but the configs must land in an honest nonzero",
         "error band, converge, and sustain the benchmarked throughput.",
         "",
-        "| Config | Platform | Train h | Test token error |"
+        "| Config | Platform | Corpus | Test token error |"
         " Train audio-s/s | Steps | Train wall (s) | Decode RTF |",
         "|---|---|---|---|---|---|---|---|",
     ]
@@ -556,9 +559,12 @@ def write_results(path: str, rows, corpus_desc: str) -> None:
         if r.get("rtf_kind") == "wall":
             rtf += " †"
             any_wall = True
+        corpus = (
+            f"v{r.get('corpus_version', 2)} "
+            f"{r.get('corpus_h', 2.0):g}h"
+        )
         lines.append(
-            f"| {r['config']} | {r['platform']} | "
-            f"{r.get('corpus_h', 2.0):g} | {err} | "
+            f"| {r['config']} | {r['platform']} | {corpus} | {err} | "
             f"{r['train_audio_s_per_s']} | {r['steps']} | "
             f"{r['train_wall_s']} | {rtf} |"
         )
@@ -606,13 +612,16 @@ def main(argv=None) -> int:
     p.add_argument("--train_seconds", type=float, default=7200.0)
     p.add_argument("--eval_seconds", type=float, default=600.0)
     p.add_argument("--corpus_version", type=int, default=2,
-                   choices=[1, 2],
+                   choices=[1, 2, 3],
                    help="phone40 profile: v2 adds phone-babble + white "
                         "noise at 5-20 dB SNR, channel tilt + reverb, "
                         "and independent per-speaker F1/F2 warps "
                         "(round-2 verdict Next #3: v1 under-stressed "
                         "acoustics — CTC landed at 3.7%% vs the "
-                        "18-20%% TIMIT band); both keep ~11 phones/s")
+                        "18-20%% TIMIT band); v3 = v2 with babble at "
+                        "15-30 dB (the attention-bootstrap attribution "
+                        "variant — see synth_corpus.py); all keep "
+                        "~11 phones/s")
     p.add_argument("--cpu_config1", action="store_true",
                    help="also run config 1 on CPU (short run)")
     p.add_argument("--cpu_config1_full", action="store_true",
@@ -707,18 +716,21 @@ def main(argv=None) -> int:
         _save_row(run_config(
             name, splits, alphabet, args.out, quick=args.smoke,
             resume=args.resume, train_seconds=args.train_seconds,
+            corpus_version=args.corpus_version,
         ))
     if args.cpu_config1:
         _save_row(run_config(
             "ctc_blstm_timit", splits, alphabet, args.out,
             platform="cpu", quick=True, quick_epochs=10,
             resume=args.resume, train_seconds=args.train_seconds,
+            corpus_version=args.corpus_version,
         ))
     if args.cpu_config1_full:
         _save_row(run_config(
             "ctc_blstm_timit", splits, alphabet, args.out,
             platform="cpu", resume=args.resume,
             train_seconds=args.train_seconds,
+            corpus_version=args.corpus_version,
         ))
     if args.multihost_config5:
         _save_row(run_config5_multihost_cpu(
@@ -745,7 +757,17 @@ def main(argv=None) -> int:
     for fname in sorted(seen, key=_key):
         rows.append(json.load(open(os.path.join(rows_dir, fname))))
 
-    if args.corpus_version >= 2:
+    if args.corpus_version >= 3:
+        desc = (
+            f"the phone40 v3 corpus ({args.train_seconds / 3600:.1f} h "
+            "train: identical to v2 — 40 phone-like tokens, 192+12+12 "
+            "speakers with independent F1/F2 warps, ~4.9 bits/token "
+            "phonotactics, channel tilt + reverb — except the "
+            "phone-babble sits at 15-30 dB SNR instead of 5-20: the "
+            "attention-bootstrap attribution variant (see "
+            "synth_corpus.py)."
+        )
+    elif args.corpus_version >= 2:
         desc = (
             f"the phone40 v2 corpus ({args.train_seconds / 3600:.1f} h "
             f"train / {args.eval_seconds / 60:.0f} min dev/test, 40 "

@@ -264,7 +264,24 @@ def make_phone40_split(
             # no anchor to bootstrap from (no real corpus is that
             # adversarial). 5-20 dB keeps speech-shaped masking well
             # beyond v1's 10-30 dB white noise.
-            snr_db = rng.uniform(5.0, 20.0)
+            #
+            # v3 = v2 with the babble at 15-30 dB, everything else
+            # identical: the ATTRIBUTION variant for the pure-LAS
+            # question (round-3 verdict Next #1). Measured on v2 at
+            # 20 h: attention-only models neither memorize (the 10x
+            # transcript diversity defeated that, tf_probe gap 0.05)
+            # nor align (test error 0.87) — while the joint config's
+            # attention head aligns fine once its CTC anchor shapes
+            # the encoder. v3 relaxes only the acoustic knob so the
+            # same committed recipe can show whether alignment
+            # bootstraps when the babble permits it — separating
+            # "corpus denies attention bootstrap" from any framework
+            # defect. Real LAS corpora (WSJ read speech) are closer to
+            # v3 acoustics than v2.
+            snr_db = (
+                rng.uniform(15.0, 30.0) if version >= 3
+                else rng.uniform(5.0, 20.0)
+            )
             noise_rms = rms / (10.0 ** (snr_db / 20.0))
             off = int(rng.integers(max(len(babble) - len(sig), 1)))
             chunk = babble[off:off + len(sig)]
@@ -489,10 +506,12 @@ def main(argv=None) -> int:
     p.add_argument("--eval_seconds", type=float, default=600.0,
                    help="phone40: dev/test audio seconds each")
     p.add_argument("--corpus_version", type=int, default=2,
-                   choices=[1, 2],
+                   choices=[1, 2, 3],
                    help="phone40 difficulty profile (v2 = phone-babble "
                         "+ white noise at 5-20 dB SNR, channel tilt + "
-                        "reverb, independent F1/F2 speaker warps)")
+                        "reverb, independent F1/F2 speaker warps; "
+                        "v3 = v2 with babble at 15-30 dB — the "
+                        "attention-bootstrap attribution variant)")
     p.add_argument("--num_symbols", type=int, default=3,
                    help="demo alphabet size (2-5)")
     p.add_argument("--encoder", default="dblstm",

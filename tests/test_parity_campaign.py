@@ -192,9 +192,9 @@ def test_write_results_corpus_hours_column(tmp_path):
     path = tmp_path / "r.md"
     write_results(str(path), rows, "desc")
     text = path.read_text()
-    assert "| Train h |" in text
-    assert "| las_timit | tpu | 2 | 0.9200 |" in text
-    assert "| las_timit | tpu | 20 | 0.2500 |" in text
+    assert "| Corpus |" in text
+    assert "| las_timit | tpu | v2 2h | 0.9200 |" in text
+    assert "| las_timit | tpu | v2 20h | 0.2500 |" in text
 
 
 def test_row_filename_tags_corpus_scale():
@@ -211,3 +211,6 @@ def test_row_filename_tags_corpus_scale():
     assert row_filename(
         {**base, "platform": "cpu", "corpus_h": 0.5}
     ) == "las_timit_cpu_0.5h.json"
+    assert row_filename(
+        {**base, "corpus_h": 20.0, "corpus_version": 3}
+    ) == "las_timit_tpu_20h_v3.json"

@@ -115,7 +115,7 @@ Both defects drove the v2 redesign above. Kept for provenance:
 
 def _table(rows):
     lines = [
-        "| Config | Platform | Train h | Test token error |"
+        "| Config | Platform | Corpus | Test token error |"
         " Train audio-s/s | Steps | Train wall (s) | Decode RTF |",
         "|---|---|---|---|---|---|---|---|",
     ]
@@ -124,9 +124,12 @@ def _table(rows):
         rtf = "-" if r.get("decode_rtf") is None else f"{r['decode_rtf']}"
         if r.get("rtf_kind") == "wall":
             rtf += " †"
+        corpus = (
+            f"v{r.get('corpus_version', 2)} "
+            f"{r.get('corpus_h', 2.0):g}h"
+        )
         lines.append(
-            f"| {r['config']} | {r['platform']} | "
-            f"{r.get('corpus_h', 2.0):g} | {err} | "
+            f"| {r['config']} | {r['platform']} | {corpus} | {err} | "
             f"{r['train_audio_s_per_s']} | {r['steps']} | "
             f"{r['train_wall_s']} | {rtf} |"
         )
