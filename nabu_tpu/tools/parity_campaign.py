@@ -164,7 +164,8 @@ def _test_audio_seconds(expdir: str) -> float:
 def run_config(name: str, splits, alphabet, workdir: str,
                platform: str | None = None, quick: bool = False,
                quick_epochs: int = 2, resume: bool = False,
-               train_seconds: float = 7200.0, corpus_version: int = 2):
+               train_seconds: float = 7200.0, corpus_version: int = 2,
+               num_epochs: int | None = None):
     """data -> train -> test -> decode for one BASELINE config.
 
     ``resume`` skips stages whose outputs already exist in the expdir
@@ -245,6 +246,8 @@ def run_config(name: str, splits, alphabet, workdir: str,
             # diagnosis predicts. 60% of the budget keeps the same
             # proportion the 2 h recipes were tuned to.
             overrides["backoff_warmup_steps"] = int(0.6 * target_steps)
+    if num_epochs is not None:
+        overrides["num_epochs"] = num_epochs
     if quick:
         overrides["num_epochs"] = quick_epochs
         overrides["valid_frequency"] = 0
@@ -629,6 +632,11 @@ def main(argv=None) -> int:
                         "convergence (hours of 2-core CPU; round-3 "
                         "verdict Next #4 — the quick leg proves "
                         "runnability, this one proves capability)")
+    p.add_argument("--cpu_full_epochs", type=int, default=120,
+                   help="epoch ceiling for --cpu_config1_full (the "
+                        "TPU row uses 120; a 2-core host may need a "
+                        "smaller ceiling to finish in wall-clock — "
+                        "the row records the actual steps)")
     p.add_argument("--multihost_config5", action="store_true",
                    help="also run config 5 with 2 real jax.distributed "
                         "CPU processes (lockstep leg)")
@@ -731,6 +739,7 @@ def main(argv=None) -> int:
             platform="cpu", resume=args.resume,
             train_seconds=args.train_seconds,
             corpus_version=args.corpus_version,
+            num_epochs=args.cpu_full_epochs,
         ))
     if args.multihost_config5:
         _save_row(run_config5_multihost_cpu(
