@@ -233,7 +233,13 @@ def run_config(name: str, splits, alphabet, workdir: str,
             )).trainer.section("trainer")
             batch = int(src_t.get("batch_size", "32"))
             steps_per_epoch = 3.0 * train_seconds / (batch * 6.5)
-            target_steps = 24000 if name == "las_timit" else 20000
+            # las_large's B=64 budget is additionally capped by the
+            # axon client's staging-buffer leak (~transferred bytes
+            # retained per step, measured in trainer.py): its first
+            # 20k-step attempt was OOM-killed at 127 GB host RSS
+            # around step 9.4k; bf16 feature shipping halves the rate
+            # and 16k steps keeps peak RSS ~90 GB on a 125 GB host
+            target_steps = 24000 if name == "las_timit" else 16000
             overrides["num_epochs"] = max(
                 6, round(target_steps / steps_per_epoch)
             )

@@ -337,6 +337,22 @@ class Trainer:
 
         from nabu_tpu.data.pipeline import prefetch
 
+        # ship features to the device in the model's compute dtype:
+        # the encoder casts them on arrival anyway (model._cast_in),
+        # so a bf16 model sees bit-identical values while the
+        # host->device transfer halves. On the tunneled dev TPU this
+        # matters doubly: the axon client LEAKS the staging buffer of
+        # every device_put (~1x the transferred bytes per step,
+        # measured; a 20k-step B=64 run was OOM-killed at 127 GB host
+        # RSS), so halving the bytes doubles the step budget a
+        # process survives.
+        feat_dt = (
+            self.model.compute_dtype
+            if getattr(self.model, "compute_dtype", None) is not None
+            and jnp.dtype(self.model.compute_dtype) != jnp.float32
+            else None
+        )
+
         def device_stream(epoch_idx: int, skip_n: int):
             """Sharded, device-resident batches; the (async) transfer of
             batch N+1 runs in the prefetch thread while the device
@@ -347,9 +363,10 @@ class Trainer:
                 shuffle=not (self.sortagrad and epoch_idx == 0),
                 skip=skip_n,
             ):
-                arrays = mesh_lib.shard_batch(
-                    self.mesh, batch_to_arrays(batch)
-                )
+                host = batch_to_arrays(batch)
+                if feat_dt is not None:
+                    host["features"] = host["features"].astype(feat_dt)
+                arrays = mesh_lib.shard_batch(self.mesh, host)
                 yield arrays, batch.num_audio_frames
 
         while not stop and step < self.num_steps:
