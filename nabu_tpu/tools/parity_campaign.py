@@ -297,10 +297,16 @@ def run_config(name: str, splits, alphabet, workdir: str,
         audio_rate, steps, train_wall = _train_metrics(expdir)
     else:
         print(f"[campaign] {name}: train", flush=True)
+        # a 2-core CPU leg legitimately trains for many hours — the
+        # default 2 h subprocess timeout killed a convergence run 180
+        # steps from its ceiling (round-4); only TPU legs keep the
+        # tight timeout (there a silent 2 h hang means the tunnel
+        # wedged and the watchdog should get its chance)
         _, train_wall = _run(
             runner + ["train", f"--recipe={recipe}",
                       f"--expdir={expdir}"],
             env,
+            timeout_s=86400 if platform == "cpu" else 7200,
         )
         audio_rate, steps, _ = _train_metrics(expdir)
     result_path = os.path.join(expdir, "test_result.json")
@@ -342,7 +348,8 @@ def run_config(name: str, splits, alphabet, workdir: str,
 
 
 def run_config5_multihost_cpu(splits, alphabet, workdir: str,
-                              resume: bool = False):
+                              resume: bool = False,
+                              num_steps: int = 300):
     """Config 5 trained by TWO real jax.distributed CPU processes
     (BASELINE.json:11 'multi-host data-parallel') on the proxy corpus:
     each process loads a disjoint host shard, GSPMD psums gradients,
@@ -364,7 +371,9 @@ def run_config5_multihost_cpu(splits, alphabet, workdir: str,
     # materially.
     overrides = {
         "ckpt_frequency": 0, "log_frequency": 10, "num_buckets": 2,
-        "num_steps": 300, "valid_frequency": 100, "warmup_steps": 40,
+        "num_steps": num_steps,
+        "valid_frequency": max(20, num_steps // 3),
+        "warmup_steps": 40,
         "async_checkpoint": "false",
     }
     recipe = build_campaign_recipe(
@@ -646,6 +655,10 @@ def main(argv=None) -> int:
     p.add_argument("--multihost_config5", action="store_true",
                    help="also run config 5 with 2 real jax.distributed "
                         "CPU processes (lockstep leg)")
+    p.add_argument("--multihost_steps", type=int, default=300,
+                   help="steps for the multihost leg (a 2-core host "
+                        "runs the two 40M-param lockstep workers at "
+                        "~5-15 s/step; size to wall-clock)")
     p.add_argument("--backfill", action="store_true",
                    help="before running anything, synthesize rows from "
                         "existing completed expdirs that predate row "
@@ -750,6 +763,7 @@ def main(argv=None) -> int:
     if args.multihost_config5:
         _save_row(run_config5_multihost_cpu(
             splits, alphabet, args.out, resume=args.resume,
+            num_steps=args.multihost_steps,
         ))
 
     # assemble from ALL persisted rows (canonical configs in canonical

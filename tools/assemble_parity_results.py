@@ -51,27 +51,56 @@ alignment bootstrapping).
 """
 
 LAS_ANALYSIS = """
-## The pure-LAS configs (3/4) vs proxy scale — measured analysis
+## The pure-LAS configs (3/4): the scale experiment and its verdict
 
-Configs 3 and 4 (las_timit, las_large_wsj — attention-only decoders)
-do not converge to useful free-running error on this proxy, and the
-failure is fully diagnosed, instrumented, and attributable to corpus
-scale rather than the framework: a mismatched-audio probe (teacher-
-forced accuracy with every utterance paired to the WRONG audio) shows
-the speller rote-memorizing the training transcripts — las_large at
-step 7800 reads 0.982 train TF accuracy with matched audio and 0.946
-with mismatched, 0.063 on held-out speakers either way. A 2 h corpus
-has only ~1,100 unique transcripts (~400 kb of text at 4.9 bits/
-token), trivially within a WSJ-scale decoder's capacity, so
-memorizing text is always cheaper for the optimizer than listening;
-these architectures' reference corpora are 30-80 h for a reason. The
-joint CTC/attention flagship (config 5) escapes exactly as the
-literature predicts: its CTC head forces the shared encoder to carry
-phone evidence and co-scores the beam, and it converges to 27% here.
-The diagnosis trail (text entropy, speaker count, augmentation,
-scheduled sampling, decode-based validation, backoff warmup) is
-recorded in synth_corpus.py/the recipes' comments, and every
-mitigation it motivated is committed and tested.
+Round 3 diagnosed the pure-attention configs' failure at 2 h as
+transcript memorization and predicted corpus scale would fix it.
+Round 4 ran the experiment (10x the audio: 20 h train, same 192
+speakers — ~11,000 unique transcripts) plus an acoustic-attribution
+control, and the memorization prediction was HALF right:
+
+- **Memorization is defeated by scale.** The mismatched-audio probe
+  (tools/tf_probe.py: teacher-forced accuracy with every utterance
+  paired to the WRONG audio) read 0.982 matched / 0.946 mismatched at
+  2 h — pure text recall. At 20 h las_timit reads **0.27 / 0.22**
+  (gap 0.05) and las_large **0.378 / 0.379** (gap -0.0003): the
+  decoders can no longer recite 11k high-entropy transcripts, and
+  attention still contributes nothing
+  (parity/tf_probe_las_timit_20h.json, tf_probe_las_large_wsj_20h).
+- **Alignment still does not bootstrap on v2 acoustics.** las_timit:
+  0.925 (2 h) -> 0.872 (20 h); las_large: 0.885 -> 0.912 — flat
+  across a 10x scale step, under a 24k/16k-step budget with the
+  backoff grace scaled to 60% of it (the first 20 h attempt showed
+  the 2 h warmup expiring mid-plateau and restore-best erasing
+  progress).
+- **The same recipe CONVERGES when the acoustics permit alignment.**
+  On phone40 v3 — identical in every knob (entropy, speakers, warps,
+  channel, reverb, hours) except the phone-babble at 15-30 dB instead
+  of 5-20 — the committed las_timit recipe reaches **0.041 test token
+  error** on held-out speakers (28.6k steps, beam-4), and the probe
+  flips to listening: **0.968 matched / 0.063 mismatched** (gap
+  0.905), 0.949 on held-out-speaker dev
+  (parity/tf_probe_las_timit_20h_v3.json).
+
+Verdict: the v2 corpus's interference is babble built from the phone
+inventory itself, calibrated so CTC lands in the TIMIT band — and
+that same calibration denies a PURE-attention decoder the anchor it
+needs to discover alignment unsupervised, at any feasible proxy
+scale. The joint config's attention head aligns fine on exactly this
+audio once its CTC anchor shapes the shared encoder (0.275 test
+error, attention co-scoring the beam); the pure-LAS recipe aligns
+fine the moment the babble relaxes. Real pure-LAS reference corpora
+(WSJ) are clean read speech, far closer to v3 than v2. The framework
+implements LAS correctly; the v2 proxy is simply past the measured
+boundary of what unsupervised attention alignment tolerates —
+which is now a documented property of the corpus, with the boundary
+itself located by experiment (5-20 dB: no bootstrap; 15-30 dB: 4.1%
+error).
+
+The full evidence chain is committed: per-run rows in parity/rows/,
+probe outputs in parity/, the probe as a reproducible command
+(tools/tf_probe.py), and every difficulty knob's measured failure
+mode in synth_corpus.py docstrings.
 """
 
 NOTES = """
@@ -84,8 +113,13 @@ Notes:
 - † wall-clock fallback: every batch shape decoded exactly once, so
   the number includes model build + jit compile; not comparable with
   steady-state rows.
-- the cpu row (config 1) proves CPU-runnability (BASELINE.json:7):
-  a short run, not full convergence.
+- config 1's cpu rows (BASELINE.json:7): the 430-step row is the
+  round-3 runnability check; the converged row is a 60-epoch run
+  whose final ~1,100 steps were warm-started from the best
+  checkpoint of a first attempt killed by a tooling timeout at step
+  2,400 of 2,580 (dev error trajectory 0.91 -> 0.66 -> 0.41 -> 0.25
+  at 500-step validations, then the continuation to early stop;
+  ~0.33 steps/s on the 2-core host, ~4.5 h of CPU total).
 - the multihost-cpu row (config 5) runs the committed recipe via
   `run train --distributed` with 2 real jax.distributed processes:
   disjoint host data shards, GSPMD gradient psum, chief-broadcast
