@@ -113,13 +113,14 @@ Notes:
 - † wall-clock fallback: every batch shape decoded exactly once, so
   the number includes model build + jit compile; not comparable with
   steady-state rows.
-- config 1's cpu rows (BASELINE.json:7): the 430-step row is the
-  round-3 runnability check; the converged row is a 60-epoch run
-  whose final ~1,100 steps were warm-started from the best
-  checkpoint of a first attempt killed by a tooling timeout at step
-  2,400 of 2,580 (dev error trajectory 0.91 -> 0.66 -> 0.41 -> 0.25
-  at 500-step validations, then the continuation to early stop;
-  ~0.33 steps/s on the 2-core host, ~4.5 h of CPU total).
+- config 1's cpu row (BASELINE.json:7): ~4.5 h of 2-core CPU across
+  two runs — a 60-epoch run killed by a tooling timeout at step
+  2,400/2,580 (since fixed; dev trajectory 0.91 -> 0.66 -> 0.41 ->
+  0.25 at 500-step validations), then a warm-started continuation
+  from its step-2,000 best that validated 0.191 -> 0.173 and was
+  wall-clock-stopped at +1,000 steps; the row scores that best model
+  (steps = 2,000 + 1,000). The curve is flattening toward the TPU
+  row's 0.104 at 5,160 steps — capability, not just runnability.
 - the multihost-cpu row (config 5) runs the committed recipe via
   `run train --distributed` with 2 real jax.distributed processes:
   disjoint host data shards, GSPMD gradient psum, chief-broadcast
