@@ -125,17 +125,18 @@ Notes:
   `run train --distributed` with 2 real jax.distributed processes:
   disjoint host data shards, GSPMD gradient psum, chief-broadcast
   early stopping, chief-only checkpoints; both workers must finish in
-  lockstep at the same step count (BASELINE.json:11). A 300-step
+  lockstep at the same step count (BASELINE.json:11). A longer
   upgrade of this leg (campaign --multihost_steps, with a
-  material-loss-fall assertion) ran twice in round 4 and showed loss
-  falling (53.3 -> 49.6 over its first 20 steps) but could not finish
-  inside the round: two 40M-param lockstep workers run at 10-90 s/step
-  on this 2-core host alongside the TPU legs, and the first attempt
-  additionally hit a Gloo connect timeout under load. Lockstep
-  numerics are continuously covered by tests/test_distributed.py
-  (two real processes, every suite run) and
-  tests/test_parallel.py::TestDataParallelEquivalence (sharded grads
-  == single-device).
+  material-loss-fall assertion) was attempted FOUR times in round 4
+  and showed loss falling (53.3 -> 49.6 over its first 20 steps) but
+  never finished inside the round: two 40M-param lockstep workers run
+  at 10-110 s/step on this 2-core host, and under load the attempts
+  variously hit a Gloo connect timeout and a coordination-service
+  barrier failure — the leg needs either real multi-host hardware or
+  an idle many-core host. Lockstep numerics are continuously covered
+  by tests/test_distributed.py (two real processes, every suite run)
+  and tests/test_parallel.py::TestDataParallelEquivalence (sharded
+  grads == single-device).
 - train audio-s/s is the trainer's own steady-state metric (median of
   the second half of logged windows) and includes bucket padding
   waste, validation pauses, host IO overlap — and, for rows trained
