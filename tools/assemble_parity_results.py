@@ -113,14 +113,15 @@ Notes:
 - † wall-clock fallback: every batch shape decoded exactly once, so
   the number includes model build + jit compile; not comparable with
   steady-state rows.
-- config 1's cpu row (BASELINE.json:7): ~4.5 h of 2-core CPU across
-  two runs — a 60-epoch run killed by a tooling timeout at step
+- config 1's cpu row (BASELINE.json:7): ~5 h of 2-core CPU across
+  three runs — a 60-epoch run killed by a tooling timeout at step
   2,400/2,580 (since fixed; dev trajectory 0.91 -> 0.66 -> 0.41 ->
-  0.25 at 500-step validations), then a warm-started continuation
-  from its step-2,000 best that validated 0.191 -> 0.173 and was
-  wall-clock-stopped at +1,000 steps; the row scores that best model
-  (steps = 2,000 + 1,000). The curve is flattening toward the TPU
-  row's 0.104 at 5,160 steps — capability, not just runnability.
+  0.25 at 500-step validations), then two warm-started continuations
+  from each best checkpoint (0.191 -> 0.173 -> 0.162 -> 0.156 ->
+  0.142 dev), wall-clock-stopped at 3,600 total optimizer steps. The
+  scored best model reads 0.1053 test error — statistically identical
+  to the TPU row's 0.1039: full CPU capability, not just
+  runnability.
 - the multihost-cpu row (config 5) runs the committed recipe via
   `run train --distributed` with 2 real jax.distributed processes:
   disjoint host data shards, GSPMD gradient psum, chief-broadcast
